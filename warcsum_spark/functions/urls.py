@@ -1,0 +1,126 @@
+"""URL column functions for the frontier (R1/R2, BASELINE.json north_star:
+"murmur3 over RFC-3986-normalized URLs").
+
+Canonicalization is pure-Python string work with no Spark built-in, so it
+runs as an Arrow-batched pandas UDF (never per-row Python through serde).
+Hashing stays JVM-side: ``F.hash`` *is* murmur3_x86_32 (seed 42) and
+``F.xxhash64`` the 64-bit variant — no UDF needed.
+
+This is an independent implementation of the same spec as
+``oracle.canonicalize_url`` (the tests cross-check them):
+lowercase scheme/host, strip trailing host dot + default port, resolve
+dot-segments, percent-decode unreserved chars / uppercase other escapes,
+drop fragment, empty path → "/". Non-http(s) or unparseable → null.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPLIT = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT = re.compile(r"%([0-9A-Fa-f]{2})|%")
+
+
+def _pct_norm(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        hx = m.group(1)
+        if hx is None:
+            return "%"  # stray '%' kept verbatim (oracle does the same)
+        ch = chr(int(hx, 16))
+        return ch if ch in _UNRESERVED else "%" + hx.upper()
+
+    return _PCT.sub(repl, s)
+
+
+def _dot_segments(path: str) -> str:
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if segs and segs[-1] != "":
+                segs.pop()
+                if not segs:
+                    segs = [""]
+        else:
+            segs.append(seg)
+    out = "/".join(segs)
+    return out if out.startswith("/") else "/" + out
+
+
+def canonicalize_one(url) -> str | None:
+    if url is None:
+        return None
+    m = _SPLIT.match(str(url).strip())
+    if m is None:
+        return None
+    scheme = m["scheme"].lower()
+    if scheme not in _DEFAULT_PORT:
+        return None
+    auth = m["auth"]
+    if "@" in auth:  # userinfo not supported by the oracle spec either
+        auth = auth.rsplit("@", 1)[1]
+    host, sep, port = auth.partition(":")
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    if sep:
+        if port and not port.isdigit():
+            return None
+        if port and port != _DEFAULT_PORT[scheme]:
+            host = f"{host}:{int(port)}"
+    path = _pct_norm(_dot_segments(m["path"] or "/"))
+    query = m["query"]
+    out = f"{scheme}://{host}{path}"
+    if query is not None and query != "":
+        out += "?" + _pct_norm(query)
+    return out
+
+
+def _host_of(url) -> str | None:
+    if url is None:
+        return None
+    m = _SPLIT.match(str(url))
+    if m is None:
+        return None
+    auth = m["auth"]
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    return auth.partition(":")[0].lower().rstrip(".") or None
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_one)
+
+
+@F.pandas_udf(T.StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    return urls.map(_host_of)
+
+
+def url_hash(canon_url: Column) -> Column:
+    """murmur3_x86_32(seed 42) of the canonical URL — JVM built-in (R2)."""
+    return F.hash(canon_url)
+
+
+def url_hash64(canon_url: Column) -> Column:
+    return F.xxhash64(canon_url)
+
+
+def url_path_query(canon_url: Column) -> Column:
+    """path[?query] part of an already-canonical URL, for robots matching —
+    pure JVM expression (regexp), no UDF."""
+    return F.regexp_replace(canon_url, r"^[a-z]+://[^/]*", "")

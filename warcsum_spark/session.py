@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]``; production target is a
+multi-executor cluster (``spark-submit --py-files``) against ~100 TB of
+Iceberg web-pages data. Every config below is chosen to survive that
+scale-up, not just to pass tests:
+
+* AQE on — runtime coalescing, skew-join splitting, broadcast demotion.
+* Arrow on, bounded batch size — every Python-side operator in this repo is
+  an Arrow-batched UDF; the batch bound caps Python-worker peak memory when
+  rows carry multi-MB ``html``/``payload`` binaries.
+* shuffle.partitions defaults to cores locally; on a real cluster callers
+  pass ``shuffle_partitions`` sized to ~128 MB per task post-shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows carrying raw page bytes are big; bound Arrow batches so a Python
+# worker holds ~tens of MB, not a whole 128 MB task partition, at once.
+ARROW_MAX_RECORDS_PER_BATCH = 2048
+
+
+def get_spark(
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "warcsum_spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` is only meaningful in local mode ("local[N]" master); on a
+    cluster the master comes from spark-submit and this argument is ignored
+    by Spark. ``shuffle_partitions`` defaults to the core count locally.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cores), 8)
+        except (TypeError, ValueError):  # cores == "*"
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # local mode = driver-only JVM; leave headroom for 32 threads of
+        # Tungsten pages + Arrow buffers.
+        .config("spark.driver.memory", os.environ.get("WARCSUM_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
