@@ -1,0 +1,99 @@
+"""Dedup family: exact vs md5 groundtruth; MinHash-LSH and SimHash recall
+against exact n-gram Jaccard on seeded near-duplicate documents."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcsum_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+def _near_dup_docs(spark, n_base=30, seed=42):
+    """Base docs + near-dup variants (a few words changed) + exact copies."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    did = 0
+    for b in range(n_base):
+        words = [rng.choice(vocab) for _ in range(60)]
+        rows.append((did, " ".join(words)))
+        base_id = did
+        did += 1
+        if b % 3 == 0:  # near-dup: change 3 words
+            w2 = list(words)
+            for _ in range(3):
+                w2[rng.randrange(len(w2))] = rng.choice(vocab)
+            rows.append((did, " ".join(w2)))
+            did += 1
+        if b % 5 == 0:  # exact copy
+            rows.append((did, " ".join(words)))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_exact_duplicates(spark):
+    df, rows = _near_dup_docs(spark)
+    out = exact_duplicates(df).collect()
+    by_text: dict[str, list[int]] = {}
+    for did, text in rows:
+        by_text.setdefault(text, []).append(did)
+    for r in out:
+        group = by_text[dict(rows)[r["doc_id"]]]
+        assert r["group_size"] == len(group)
+        assert r["canonical_id"] == min(group)
+        assert r["is_duplicate"] == (r["doc_id"] != min(group))
+
+
+def test_ngram_jaccard_exact_copies_have_jaccard_1(spark):
+    df, rows = _near_dup_docs(spark)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()}
+    by_text: dict[str, list[int]] = {}
+    for did, text in rows:
+        by_text.setdefault(text, []).append(did)
+    for text, ids in by_text.items():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert pairs.get((ids[i], ids[j])) == 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    df, _ = _near_dup_docs(spark)
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert truth, "fixture must contain high-jaccard pairs"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_duplicates(df, k=3, num_hashes=64, bands=16, threshold=0.6).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(truth)} truth pairs)"
+
+
+def test_simhash_near_pairs(spark):
+    df, rows = _near_dup_docs(spark)
+    sims = simhash(df)
+    # identical text → identical simhash → hamming 0
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(sims, max_hamming=3).collect()}
+    by_text: dict[str, list[int]] = {}
+    for did, text in rows:
+        by_text.setdefault(text, []).append(did)
+    exact_pairs = [
+        (ids[i], ids[j])
+        for ids in by_text.values()
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+    ]
+    assert exact_pairs
+    for p in exact_pairs:
+        assert pairs.get(p) == 0, p

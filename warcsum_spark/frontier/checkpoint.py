@@ -1,0 +1,70 @@
+"""R8 — checkpoint / resume for the crawl loop.
+
+Production target is Iceberg (atomic snapshot commits); this module
+implements the same contract over parquet directories with a
+write-then-commit-marker protocol so a torn write is never loadable:
+
+    <root>/round_<k>/pending/   parquet
+    <root>/round_<k>/seen/      parquet
+    <root>/round_<k>/lineage/   parquet  (per-partition row counts)
+    <root>/round_<k>/_COMMIT    json marker, written last
+
+Resume = read the highest committed round. Filter blobs are NOT
+serialized — they are rebuilt from the seen table on demand
+(rebuild-from-state beats mutable-blob serialization for false-negative
+safety, SURVEY §7 hard-part 4). Idempotent: re-running a round overwrites
+its directory and re-commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import spark_partition_id
+
+from warcsum_spark.frontier.superstep import FRONTIER_SCHEMA, SEEN_SCHEMA, FrontierState
+
+
+def _round_dir(root: str, k: int) -> str:
+    return os.path.join(root, f"round_{k:06d}")
+
+
+def save_checkpoint(root: str, state: FrontierState, metrics: dict | None = None) -> str:
+    d = _round_dir(root, state.round_no)
+    state.pending.write.mode("overwrite").parquet(os.path.join(d, "pending"))
+    state.seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+    # per-partition lineage: which partition carried how many frontier rows
+    lineage = state.pending.groupBy(
+        spark_partition_id().alias("partition_id")
+    ).agg(F.count("*").alias("n_rows"))
+    lineage.write.mode("overwrite").parquet(os.path.join(d, "lineage"))
+    marker = {"round": state.round_no, "metrics": metrics or {}}
+    with open(os.path.join(d, "_COMMIT"), "w") as f:
+        json.dump(marker, f)
+    return d
+
+
+def latest_round(root: str) -> int | None:
+    if not os.path.isdir(root):
+        return None
+    rounds = []
+    for name in os.listdir(root):
+        if name.startswith("round_") and os.path.exists(
+            os.path.join(root, name, "_COMMIT")
+        ):
+            rounds.append(int(name.split("_")[1]))
+    return max(rounds) if rounds else None
+
+
+def load_checkpoint(spark: SparkSession, root: str, k: int | None = None) -> FrontierState:
+    if k is None:
+        k = latest_round(root)
+        if k is None:
+            raise FileNotFoundError(f"no committed checkpoint under {root}")
+    d = _round_dir(root, k)
+    pending = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "pending"))
+    seen = spark.read.schema(SEEN_SCHEMA).parquet(os.path.join(d, "seen"))
+    return FrontierState(pending=pending, seen=seen, round_no=k)

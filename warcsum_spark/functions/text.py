@@ -1,0 +1,186 @@
+"""Text-analysis column functions for training-data pipelines: token
+counting, quality scoring, language ID, fingerprinting.
+
+Everything here is pure JVM expression (codegen'd, no Python workers) except
+the winnowing fingerprint, which is an Arrow UDF. Each function is designed
+to be reproducible in ANSI SQL (DuckDB) for the driver's correctness gate —
+e.g. marker-word counting uses ``replace``-length arithmetic, identical in
+both engines, instead of engine-specific regex classes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank → 0."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_count_approx_bpe(text: Column) -> Column:
+    """BPE-ish subword estimate: words + digit runs + punct marks each count;
+    long words cost ceil(len/6) subword units (a cheap, deterministic stand-in
+    for a real tokenizer — used for token budgeting at corpus scale)."""
+    words = F.split(F.trim(text), r"\s+")
+    unit = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
+    )
+    return F.when(F.trim(text) == "", 0).otherwise(unit)
+
+
+def _count_occurrences(text: Column, marker: str) -> Column:
+    """Occurrences of a literal substring via replace-length arithmetic —
+    bit-identical semantics in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("int")
+
+
+# marker stopwords per language (padded with spaces → whole-word matches)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "de": [" der ", " die ", " und ", " das "],
+    "es": [" el ", " de ", " que ", " los "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit score per language over ' '+lower(text)+' '."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(_count_occurrences(padded, mk) for mk in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker score; ties broken by language code ASC;
+    all-zero → 'und'.
+
+    NOTE: inlining this builds an expression tree that duplicates every
+    marker-count subtree per comparison level; prefer ``with_lang_id`` on
+    hot paths, which stages each score as a column once."""
+    scores = lang_scores(text)
+    return _argmax_lang({k: v for k, v in scores.items()})
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    best = None
+    for lang in sorted(scores):  # ASC order makes '>' ties resolve to first
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best = (
+                F.when(s > best[0], s).otherwise(best[0]),
+                F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    score, lang = best
+    return F.when(score <= 0, F.lit("und")).otherwise(lang)
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "lang_guess"):
+    """Plan-friendly lang ID: each marker score is computed ONCE as a
+    staged column (one projection), then the argmax chain references the
+    staged columns — O(langs) expression size instead of O(2^langs)."""
+    scores = lang_scores(F.col(text_col))
+    staged = df.withColumns({f"_ls_{k}": v for k, v in scores.items()})
+    lang = _argmax_lang({k: F.col(f"_ls_{k}") for k in scores})
+    return staged.withColumn(out_col, lang).drop(*[f"_ls_{k}" for k in scores])
+
+
+PUNCT_CHARS = ".,!?;:"
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (all SQL-reproducible):
+    n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len."""
+    t = F.trim(text)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    punct = sum(_count_occurrences(text, ch) for ch in PUNCT_CHARS)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(_count_occurrences(padded, f" {w} ") for w in STOPWORDS)
+    nz = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
+        "stopword_ratio": F.round(F.coalesce(stop_hits / nz, F.lit(0.0)), 6),
+        "mean_token_len": F.round(
+            F.coalesce(
+                (F.length(F.regexp_replace(t, r"\s+", "")).cast("double")) / nz,
+                F.lit(0.0),
+            ),
+            6,
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + punctuation sanity +
+    stopword presence. Deterministic, monotone in the signals."""
+    f = quality_features(text)
+    len_ok = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_ok = F.when(f["punct_ratio"].between(0.005, 0.2), 1.0).otherwise(0.3)
+    stop_ok = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    return F.round((len_ok + punct_ok + stop_ok) / F.lit(3.0), 6)
+
+
+def md5_fingerprint(text: Column, n_hex: int = 16) -> Column:
+    """Exact-content fingerprint: md5 prefix (SQL-reproducible)."""
+    return F.substring(F.md5(F.encode(text, "UTF-8")), 1, n_hex)
+
+
+_WINNOW_B = 131
+_WINNOW_M = (1 << 61) - 1
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprint(text: pd.Series) -> pd.Series:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    Karp–Rabin rolling hashes over k-grams (k=8), window w=4 minima kept.
+    Deterministic; near-identical documents share most fingerprint values."""
+    k, w = 8, 4
+
+    def fp(s):
+        if s is None:
+            return None
+        data = s.encode("utf-8", "replace")
+        n = len(data)
+        if n < k:
+            return []
+        # rolling Karp–Rabin over bytes
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        h = 0
+        bk = pow(_WINNOW_B, k - 1, _WINNOW_M)
+        hashes = np.empty(n - k + 1, dtype=np.int64)
+        for i in range(k):
+            h = (h * _WINNOW_B + int(arr[i])) % _WINNOW_M
+        hashes[0] = h
+        for i in range(1, n - k + 1):
+            h = ((h - int(arr[i - 1]) * bk) * _WINNOW_B + int(arr[i + k - 1])) % _WINNOW_M
+            hashes[i] = h
+        if len(hashes) <= w:
+            return [int(hashes.min())]
+        out = []
+        prev = -1
+        for i in range(len(hashes) - w + 1):
+            j = i + int(np.argmin(hashes[i : i + w]))
+            if j != prev:
+                out.append(int(hashes[j]))
+                prev = j
+        return out
+
+    return text.map(fp)
