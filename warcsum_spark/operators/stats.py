@@ -10,6 +10,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def partition_metrics(df: DataFrame, bytes_col: str | None = None) -> DataFrame:
+    """A6 / north_rule: per-partition lineage + throughput metrics —
+    (partition_id, n_rows[, n_bytes]). One extra narrow pass; persisted
+    next to each checkpoint so a resumed run can attribute work and skew
+    to specific partitions. The reference only has global wall-clock
+    counters (warccollres.c:1362–1366); per-partition visibility is what a
+    1000-executor run actually needs to find stragglers."""
+    aggs = [F.count("*").alias("n_rows")]
+    if bytes_col is not None:
+        aggs.append(F.sum(F.length(bytes_col)).cast("long").alias("n_bytes"))
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+
+
 def run_stats(extended: DataFrame) -> dict:
     """Counters over an extended manifest: total / unique / duplicates /
     collisions / distinct digests (+ derived percentages)."""

@@ -63,6 +63,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WARCSUM_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # local-mode shuffle spills to spark.local.dir; this box's disk
+        # anti-scales under 32 concurrent shuffle writers (measured 2×
+        # slowdown 8→32 threads) while the memory-backed tmpfs scales.
+        # On a real cluster the cluster manager overrides local dirs.
+        .config(
+            "spark.local.dir",
+            os.environ.get("WARCSUM_LOCAL_DIR", "/dev/shm/warcsum_spark_local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
