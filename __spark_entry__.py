@@ -460,6 +460,28 @@ def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: embedding-cosine near-dup via hyperplane LSH buckets
+    (recall vs brute force asserted in tests). Near-dup pairs are injected
+    deterministically (exact copies + one-coordinate perturbations of
+    vec_id<20) since the base embeddings are random."""
+    from warcsum_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).unionByName(perturbed)
+    return embedding_near_dup_pairs(corpus, threshold=0.95, dim=dim)
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5: per-host politeness top-k on a synthetic URL table."""
     from warcsum_spark.frontier.politeness import schedule_per_host
@@ -571,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "frontier_schedule": q_frontier_schedule,
         "url_seen_gate": q_url_seen_gate,
         "stats_by_lang": q_stats_by_lang,

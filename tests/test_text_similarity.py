@@ -112,6 +112,25 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_embedding_near_dup_recall(spark, sf_dir):
+    from warcsum_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    copies = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(corpus, threshold=0.99, dim=dim).collect()
+    }
+    # every injected exact copy must be found with cosine 1.0 (identical
+    # vectors share every LSH bucket — recall is exactly 1 for true dups)
+    for i in range(15):
+        assert got.get((i, i + 1000000)) == 1.0, i
+
+
 def test_multimodal_plumbing(spark):
     from warcsum_spark.operators.multimodal import (
         attach_media_meta,

@@ -100,6 +100,59 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 32,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, cosine ≥
+    threshold) via hyperplane-LSH self-bucketing: exact cosine only within
+    shared buckets, never a cross join. Near-dup embeddings (cos ≥ 0.95 →
+    angle ≤ 18°) collide in ≥1 of n_tables with high probability."""
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    buckets = base.select(
+        "vec_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_signature(F.col("_v"), _planes(dim, n_bits, t, seed)).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "_v", "b.table_id", "b.sig")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
