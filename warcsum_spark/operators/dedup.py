@@ -109,17 +109,44 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def hashed_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct k-word shingles per doc as 8-byte hashes:
+    (doc_id, shingle_hash). The string is hashed BEFORE the distinct so
+    the dedup shuffle moves 16-byte rows, not ~30-char strings — the hash
+    stands in for the shingle everywhere downstream (a 64-bit collision
+    is far below MinHash's own estimation error)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("shingle_hash"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 64
 ) -> DataFrame:
     """(doc_id, sig array<long>) — m minhash values per doc.
 
-    The variable-length shingle string is hashed ONCE (xxhash64); the m
-    independent hash functions are then xxhash64(h, i) over the fixed
-    8-byte value — ~m× less string hashing, ANSI-safe (no wrapping
-    arithmetic), and the min per index is one groupBy aggregate with
-    map-side partial combine."""
-    hashed = shingles.select("doc_id", F.xxhash64("shingle").alias("_h"))
+    Input is either (doc_id, shingle) or pre-hashed (doc_id,
+    shingle_hash). The variable-length shingle string is hashed ONCE; the
+    m independent hash functions are xxhash64(h, i) over the fixed 8-byte
+    value — ~m× less string hashing, ANSI-safe (no wrapping arithmetic),
+    and the min per index is one groupBy aggregate with map-side partial
+    combine."""
+    if "shingle_hash" in shingles.columns:
+        hashed = shingles.select("doc_id", F.col("shingle_hash").alias("_h"))
+    else:
+        hashed = shingles.select("doc_id", F.xxhash64("shingle").alias("_h"))
     mins = [
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -152,7 +179,16 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    # estimate computed INSIDE the join projection: the pair-dedup shuffle
+    # then carries (doc_a, doc_b, est) — 24 bytes — instead of two
+    # m×8-byte signature arrays per row
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -162,19 +198,12 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(matches / F.size(F.col("a.sig")).cast("double"), 6).alias(
+                "est_jaccard"
+            ),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
-    return pairs.withColumn(
-        "est_jaccard", F.round(matches / F.size("sig_a").cast("double"), 6)
-    ).select("doc_a", "doc_b", "est_jaccard")
 
 
 def minhash_lsh_duplicates(
@@ -188,7 +217,7 @@ def minhash_lsh_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup pairs at scale: shingle → minhash → LSH →
     estimate filter ≥ threshold."""
-    sh = word_shingles(docs, k, id_col, text_col)
+    sh = hashed_shingles(docs, k, id_col, text_col)
     sig = minhash_signatures(sh, num_hashes)
     return lsh_candidate_pairs(sig, bands).filter(F.col("est_jaccard") >= threshold)
 
