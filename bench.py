@@ -141,7 +141,7 @@ def _scaling_job(spark, input_path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from warcsum_spark.frontier.politeness import schedule_per_host
-    from warcsum_spark.functions.urls import canonicalize_url, url_host
+    from warcsum_spark.functions.urls import canonicalize_url_fast, url_host
     from warcsum_spark.operators.collres import resolve_collisions
 
     pages = spark.read.parquet(input_path)
@@ -181,7 +181,7 @@ def _scaling_job(spark, input_path: str) -> dict[str, float]:
 
     def frontier_stage():
         cand = amplified.select(
-            canonicalize_url(F.col("uri")).alias("url"),
+            canonicalize_url_fast(F.col("uri")).alias("url"),
             (F.pmod(F.xxhash64("uri"), F.lit(1000)) / 1000.0).alias("priority"),
             F.col("rep"),
         ).filter(F.col("url").isNotNull()).withColumn("host", url_host(F.col("url")))

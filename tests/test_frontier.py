@@ -42,7 +42,7 @@ def _fixture_dfs(spark):
     return seeds, link_graph, budgets, robots, seeds_df, lg_df, pol_df, robots_df
 
 
-@pytest.mark.parametrize("use_bloom,salt", [(False, 0), (True, 4)])
+@pytest.mark.parametrize("use_bloom,salt", [(False, 0), (True, 4), ("cuckoo", 0)])
 def test_crawl_matches_simulator(spark, use_bloom, salt):
     (seeds, link_graph, budgets, robots, seeds_df, lg_df, pol_df, robots_df) = _fixture_dfs(spark)
     sim = simulate_crawl(seeds, link_graph, budgets, robots, rounds=ROUNDS)
@@ -120,6 +120,43 @@ def test_canonicalizer_matches_oracle(spark):
     got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
     expect = [oracle_canon(c) for c in cases]
     assert got == expect
+
+
+def test_fast_canonicalizer_equals_udf(spark):
+    """The JVM fast path must agree with the Arrow UDF on EVERY url —
+    fixture urls, simulator-discovered urls, and adversarial forms."""
+    from warcsum_spark.fixtures import gen_web_pages
+    from warcsum_spark.functions.urls import canonicalize_url, canonicalize_url_fast
+
+    urls = [r["url"] for r in gen_web_pages(400, seed=11)]
+    _seeds, lg, _b, _r = gen_frontier_fixture()
+    urls += [u for outs in lg.values() for u in outs]
+    urls += [
+        "http://host.test/p?",
+        "http://host.test/p?a=1",
+        "http://host.test/a%2Fb",
+        "http://host.test/a/./b",
+        "http://host.test/a/../b",
+        "http://host.test/...",
+        "http://host.test./x",
+        "http://host.test:8080/x",
+        "http://host.test:80/x",
+        "HTTP://host.test/x",
+        "http://host.test/UPPER/Path",
+        "http://host-with-dash.test/x",
+        "http://host.test/x/..",
+        "http://host.test/x/.",
+        "http://-bad.test/x",
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonicalize_url("url").alias("slow"),
+        canonicalize_url_fast(F.col("url")).alias("fast"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["slow"], r["url"]
 
 
 def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):

@@ -32,10 +32,21 @@ def _round_dir(root: str, k: int) -> str:
     return os.path.join(root, f"round_{k:06d}")
 
 
-def save_checkpoint(root: str, state: FrontierState, metrics: dict | None = None) -> str:
+def save_checkpoint(
+    root: str,
+    state: FrontierState,
+    metrics: dict | None = None,
+    filters=None,
+) -> str:
+    """``filters`` (optional): the url_seen blob table (bloom or cuckoo,
+    (partition_id, n_keys, filter_blob)) — persisted for observability and
+    warm-start; correctness never depends on it since load rebuilds blobs
+    from the seen table (zero-false-negative guarantee, SURVEY §7 #4)."""
     d = _round_dir(root, state.round_no)
     state.pending.write.mode("overwrite").parquet(os.path.join(d, "pending"))
     state.seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+    if filters is not None:
+        filters.write.mode("overwrite").parquet(os.path.join(d, "url_seen_filters"))
     # per-partition lineage: which partition carried how many frontier rows
     lineage = state.pending.groupBy(
         spark_partition_id().alias("partition_id")

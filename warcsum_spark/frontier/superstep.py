@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from warcsum_spark.frontier.politeness import schedule_per_host
 from warcsum_spark.frontier.robots import robots_allowed
 from warcsum_spark.frontier.seen import build_seen_filters, filter_unseen
-from warcsum_spark.functions.urls import canonicalize_url, url_host
+from warcsum_spark.functions.urls import canonicalize_url_fast, url_host
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -52,7 +52,7 @@ def init_frontier(spark: SparkSession, seeds: DataFrame) -> FrontierState:
     duplicates collapse keeping the max priority (set semantics)."""
     pending = (
         seeds.select(
-            canonicalize_url(F.col("url")).alias("url"), F.col("priority")
+            canonicalize_url_fast(F.col("url")).alias("url"), F.col("priority")
         )
         .filter(F.col("url").isNotNull())
         .groupBy("url")
@@ -73,7 +73,7 @@ def frontier_round(
     politeness: DataFrame | None = None,
     default_budget: int = 2,
     depth_decay: float = 0.5,
-    use_bloom: bool = False,
+    use_bloom: bool | str = False,  # False | True (bloom) | "cuckoo"
     bloom_partitions: int = 16,
     salt_buckets: int = 0,
     materialize: bool = True,
@@ -92,9 +92,20 @@ def frontier_round(
     """
     pending = state.pending
     filters = None
-    if use_bloom:
-        filters = build_seen_filters(state.seen, n_partitions=bloom_partitions)
-    candidates = filter_unseen(pending, state.seen, filters, bloom_partitions)
+    if use_bloom == "cuckoo":
+        from warcsum_spark.frontier.cuckoo import (
+            build_seen_cuckoo,
+            filter_unseen_cuckoo,
+        )
+
+        filters = build_seen_cuckoo(state.seen, n_partitions=bloom_partitions)
+        candidates = filter_unseen_cuckoo(
+            pending, state.seen, filters, bloom_partitions
+        )
+    else:
+        if use_bloom:
+            filters = build_seen_filters(state.seen, n_partitions=bloom_partitions)
+        candidates = filter_unseen(pending, state.seen, filters, bloom_partitions)
     if robots is not None:
         candidates = robots_allowed(candidates, robots)
     scheduled = schedule_per_host(
@@ -116,7 +127,7 @@ def frontier_round(
             (F.col("priority") * F.lit(depth_decay)).alias("priority"),
             (F.col("depth") + 1).alias("depth"),
         )
-        .withColumn("url", canonicalize_url(F.col("raw_url")))
+        .withColumn("url", canonicalize_url_fast(F.col("raw_url")))
         .filter(F.col("url").isNotNull())
         .groupBy("url")
         .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
