@@ -542,7 +542,7 @@ def q_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STATS_BY_LANG = """
 SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars, round(avg(n_chars), 4) AS avg_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars, round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY lang
 """
 
@@ -553,7 +553,12 @@ FROM documents GROUP BY lang
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow mapInPandas feature extraction over binary media columns
-    (deterministic stub decode; see operators/multimodal.py)."""
+    (deterministic stub decode; see operators/multimodal.py).
+
+    The driver's rows-only canonicalizer sorts column values with pandas,
+    which cannot factorize ``array<float>`` — so this query projects only
+    scalar columns (dim, L2 norm, a stable hash of the rounded feature
+    vector); the array-valued API itself is pytest-covered."""
     from warcsum_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents").limit(200)
@@ -562,7 +567,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text-as-blob").alias("kind"),
         F.encode("text", "UTF-8").alias("blob"),
     )
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    norm_sq = F.aggregate(
+        "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    feat_str = F.concat_ws(
+        ",", F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string"))
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "feat_dim",
+        F.round(F.sqrt(norm_sq), 6).alias("feat_norm"),
+        F.xxhash64(feat_str).alias("feat_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------
