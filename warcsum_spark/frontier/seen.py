@@ -31,7 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BLOB_SCHEMA = "partition_id int, n_keys long, filter_blob binary"
+BLOB_SCHEMA = (
+    "partition_id int, n_keys long, n_partitions int, filter_blob binary"
+)
 
 # xxhash64-based double hashing: h_i = h1 + i*h2 mod m (Kirsch–Mitzenmacher)
 _MASK = (1 << 64) - 1
@@ -74,7 +76,12 @@ def build_seen_filters(
         for idx in _np_hashes(h.view(np.uint64), k, m_bits):
             np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
         return pd.DataFrame(
-            {"partition_id": [pid], "n_keys": [len(h)], "filter_blob": [bits.tobytes()]}
+            {
+                "partition_id": [pid],
+                "n_keys": [len(h)],
+                "n_partitions": [n_partitions],
+                "filter_blob": [bits.tobytes()],
+            }
         )
 
     return (
@@ -110,6 +117,13 @@ def filter_unseen(
             return left.assign(maybe_seen=pd.Series([], dtype=bool))
         if right.empty:  # no blob for this partition → nothing seen here
             return left.assign(maybe_seen=False)
+        built_with = int(right["n_partitions"].iloc[0])
+        if built_with != n_partitions:
+            raise ValueError(
+                f"bloom filters were built with n_partitions={built_with} "
+                f"but filter_unseen was called with {n_partitions}; "
+                "mismatched partitioning silently corrupts the seen gate"
+            )
         bits = np.frombuffer(right["filter_blob"].iloc[0], dtype=np.uint8)
         m_bits = len(bits) * 8
         k = _blob_k(m_bits, int(right["n_keys"].iloc[0]))
