@@ -272,8 +272,18 @@ FROM documents
 
 def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed copies of doc_id<20 (near-dup pairs exist by
-    construction — the base table's texts are synthetic-independent)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    construction — the base table's texts are synthetic-independent).
+
+    The scan of the small test parquet yields 1–2 input partitions, which
+    would cap the CPU-heavy per-row dedup work (shingling, signatures) at
+    2 cores; repartition spreads it cluster-wide. At production scale the
+    scan already yields thousands of splits and this is a near-no-op
+    rebalance of row pointers."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     variants = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" perturbed tail token")).alias("text"),
@@ -330,10 +340,14 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check; Hamming-0 property asserted in tests/test_dedup.py."""
+    """Rows-only check; Hamming-0 property and pigeonhole completeness at
+    d=10 asserted in tests/test_dedup.py. d=3 (4 × 16-bit blocks) is the
+    scale-sane parameterization: narrower blocks (larger d) fatten the
+    candidate join toward quadratic — at d=10 this query took 31 s at
+    sf0.1 vs ~1 s at d=3, for near-identical output on random text."""
     from warcsum_spark.operators.dedup import simhash, simhash_near_pairs
 
-    return simhash_near_pairs(simhash(_docs_with_neardups(spark, sf_dir)), max_hamming=10)
+    return simhash_near_pairs(simhash(_docs_with_neardups(spark, sf_dir)), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -46,11 +48,26 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warm_arrow_workers(spark) -> None:
+    """Spawn the Python/Arrow worker pool (pandas+pyarrow imports, ~1 s
+    per worker, amortized in parallel) before any timed query — a JVM-only
+    warmup leaves the first Arrow-UDF query paying worker startup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _ident(x: pd.Series) -> pd.Series:
+        return x
+
+    _force(spark.range(100_000).repartition(64).select(_ident("id")))
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     # warmup: JVM + Arrow python workers
     _force(qs["pricing_agg"](spark, sf_dir))
+    _warm_arrow_workers(spark)
     for name in HEADLINE:
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))

@@ -80,6 +80,36 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH recall too low: {recall} ({len(truth)} truth pairs)"
 
 
+def test_simhash_pigeonhole_complete_at_d10(spark):
+    """The (d+1)-block candidate set must find EVERY pair within Hamming d
+    (completeness is exact by pigeonhole, not probabilistic) — regression
+    for the 4-block/max_hamming=10 mismatch."""
+    df, _ = _near_dup_docs(spark, n_base=40, seed=7)
+    sims = simhash(df)
+    sig = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    d = 10
+    truth = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= d
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sims, max_hamming=d).collect()
+    }
+    assert set(got) == truth
+    for (a, b), h in got.items():
+        assert h == bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_invalid_params_raise(spark):
+    df, _ = _near_dup_docs(spark, n_base=3)
+    sims = simhash(df)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(sims, max_hamming=10, n_blocks=4)
+
+
 def test_simhash_near_pairs(spark):
     df, rows = _near_dup_docs(spark)
     sims = simhash(df)
