@@ -207,7 +207,15 @@ def _scaling_job(spark, input_path: str) -> dict[str, float]:
         cand = cand.localCheckpoint(eager=True)
         seen = cand.filter(F.col("rep") % 2 == 0).select("url")
         unseen = cand.join(seen, "url", "left_anti")
-        _force(schedule_per_host(unseen, politeness=None, default_budget=50))
+        # salted two-phase top-k (R7): the input's Zipf-skewed hosts put the
+        # hottest host's full candidate list in ONE window task — invisible
+        # at 2 cores (everything queues anyway) but a straggler that caps
+        # scaling at 8+ (measured 44.9 s → 16.8 s at local[8])
+        _force(
+            schedule_per_host(
+                unseen, politeness=None, default_budget=50, salt_buckets=16
+            )
+        )
         cand.unpersist(blocking=True)  # don't let checkpoint blocks pile up
 
     stages = (

@@ -113,6 +113,17 @@ def test_canonicalizer_matches_oracle(spark):
         "http://example.com/p?",
         "http://example.com/%zz",
         "http://example.com/a%20b",
+        # port normalization is numeric, not string (':080' IS the default)
+        "http://a.com:080/",
+        "https://a.com:0443/x",
+        "http://a.com:8080/x",
+        "http://a.com:/x",
+        # IPv6 literals: bracketed, lowercased, default port stripped
+        "http://[::1]/",
+        "http://[::1]:80/",
+        "http://[::1]:8080/p",
+        "http://[2001:DB8::1]/x",
+        "http://[zz/",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "url string")
     from warcsum_spark.functions.urls import canonicalize_url
@@ -157,6 +168,40 @@ def test_fast_canonicalizer_equals_udf(spark):
     ).collect()
     for r in rows:
         assert r["fast"] == r["slow"], r["url"]
+
+
+def test_robots_equal_length_tie_resolves_to_allow(spark):
+    """RFC 9309 §2.2.2: equal-length allow/disallow tie → allow, in both
+    the Spark gate and the oracle (order-independent)."""
+    from warcsum_spark.frontier.robots import robots_allowed
+    from warcsum_spark.oracle import robots_allows
+
+    for rules in ([(False, "/a/"), (True, "/a/")], [(True, "/a/"), (False, "/a/")]):
+        assert robots_allows(rules, "/a/x") is True
+        robots_df = spark.createDataFrame(
+            [("h.test", [{"allow": a, "prefix": p} for a, p in rules])],
+            "host string, rules array<struct<allow boolean, prefix string>>",
+        )
+        cand = spark.createDataFrame(
+            [("http://h.test/a/x", "h.test"), ("http://h.test/b", "h.test")],
+            "url string, host string",
+        )
+        got = {r["url"] for r in robots_allowed(cand, robots_df).collect()}
+        assert got == {"http://h.test/a/x", "http://h.test/b"}
+    # sanity: longer disallow still wins over shorter allow
+    assert robots_allows([(True, "/a/"), (False, "/a/x")], "/a/x") is False
+
+
+def test_latest_round_ignores_stray_names(spark, tmp_path):
+    from warcsum_spark.frontier.checkpoint import latest_round
+
+    root = tmp_path / "ckpt"
+    (root / "round_000003").mkdir(parents=True)
+    (root / "round_000003" / "_COMMIT").write_text("{}")
+    (root / "round_tmp").mkdir()  # stray: must not crash the int parse
+    (root / "notes.txt").write_text("x")
+    assert latest_round(str(root)) == 3
+    assert latest_round(str(root), spark) == 3
 
 
 def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):

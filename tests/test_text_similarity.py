@@ -67,6 +67,54 @@ def test_fingerprints(spark):
     assert len(by[1]["wfp"]) > 0
 
 
+def test_winnow_vectorized_matches_scalar_spec(spark):
+    """The numpy winnowing kernel must equal the scalar executable spec on
+    adversarial inputs (ties, short docs, unicode, None)."""
+    import random
+
+    from warcsum_spark.functions.text import _winnow_scalar
+
+    rng = random.Random(9)
+    cases = [
+        None,
+        "",
+        "short",
+        "exactly8",
+        "aaaaaaaaaaaaaaaaaaaaaa",  # all-tie windows
+        "abcdefgh " * 50,
+        "héllo wörld ünïcode " * 10,
+        "".join(rng.choice("ab ") for _ in range(500)),
+        "".join(chr(rng.randrange(32, 1000)) for _ in range(300)),
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, text string")
+    got = {r["i"]: r["w"] for r in df.select("i", winnow_fingerprint(F.col("text")).alias("w")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == _winnow_scalar(c), f"case {i}: {c!r}"
+
+
+def test_winnow_vectorized_throughput():
+    """≥5× the former per-byte Python loop on a 1 MB doc (VERDICT #10);
+    measured against the scalar spec, which is strictly faster-shaped than
+    the old numpy-scalar mix."""
+    import time
+
+    from warcsum_spark.functions.text import _winnow_scalar
+
+    doc = ("lorem ipsum dolor sit amet " * 40000)[: 1 << 20]
+    # vectorized path, invoked directly (not through Spark) for timing
+    import pandas as pd
+
+    vec = winnow_fingerprint.func
+    t0 = time.perf_counter()
+    out_vec = vec(pd.Series([doc]))[0]
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_scalar = _winnow_scalar(doc)
+    t_scalar = time.perf_counter() - t0
+    assert list(out_vec) == out_scalar
+    assert t_scalar / t_vec >= 5, (t_scalar, t_vec)
+
+
 def _vecs(n, dim=16, seed=7):
     rng = np.random.RandomState(seed)
     return rng.randn(n, dim).astype(np.float32)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -27,9 +28,30 @@ from pyspark.sql.functions import spark_partition_id
 
 from warcsum_spark.frontier.superstep import FRONTIER_SCHEMA, SEEN_SCHEMA, FrontierState
 
+_ROUND_RE = re.compile(r"^round_(\d+)$")
+
 
 def _round_dir(root: str, k: int) -> str:
     return os.path.join(root, f"round_{k:06d}")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    marker/listing protocol then works on any supported scheme (file://,
+    hdfs://, s3a://), not just the local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_marker(spark: SparkSession, path: str, payload: dict) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)  # overwrite; atomic-enough: written LAST
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def save_checkpoint(
@@ -53,26 +75,41 @@ def save_checkpoint(
     ).agg(F.count("*").alias("n_rows"))
     lineage.write.mode("overwrite").parquet(os.path.join(d, "lineage"))
     marker = {"round": state.round_no, "metrics": metrics or {}}
-    with open(os.path.join(d, "_COMMIT"), "w") as f:
-        json.dump(marker, f)
+    _write_marker(
+        state.pending.sparkSession, os.path.join(d, "_COMMIT"), marker
+    )
     return d
 
 
-def latest_round(root: str) -> int | None:
+def latest_round(root: str, spark: SparkSession | None = None) -> int | None:
+    """Highest committed round under ``root``. With ``spark`` the listing
+    goes through the Hadoop FS API (any scheme); without it, local-fs only.
+    Non-matching directory names (round_tmp, stray files) are ignored."""
+    if spark is not None:
+        fs, jroot = _hadoop_fs(spark, root)
+        if not fs.exists(jroot):
+            return None
+        rounds = []
+        for status in fs.listStatus(jroot):
+            m = _ROUND_RE.match(status.getPath().getName())
+            if m and fs.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(status.getPath(), "_COMMIT")
+            ):
+                rounds.append(int(m.group(1)))
+        return max(rounds) if rounds else None
     if not os.path.isdir(root):
         return None
     rounds = []
     for name in os.listdir(root):
-        if name.startswith("round_") and os.path.exists(
-            os.path.join(root, name, "_COMMIT")
-        ):
-            rounds.append(int(name.split("_")[1]))
+        m = _ROUND_RE.match(name)
+        if m and os.path.exists(os.path.join(root, name, "_COMMIT")):
+            rounds.append(int(m.group(1)))
     return max(rounds) if rounds else None
 
 
 def load_checkpoint(spark: SparkSession, root: str, k: int | None = None) -> FrontierState:
     if k is None:
-        k = latest_round(root)
+        k = latest_round(root, spark)
         if k is None:
             raise FileNotFoundError(f"no committed checkpoint under {root}")
     d = _round_dir(root, k)

@@ -17,7 +17,10 @@ from warcsum_spark.functions.urls import url_path_query
 
 
 def robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Filter candidates (url=canonical, host) to robots-allowed rows."""
+    """Filter candidates (url=canonical, host) to robots-allowed rows.
+
+    Equal-length allow/disallow ties resolve to ALLOW (RFC 9309 §2.2.2 /
+    Google robots semantics), matching oracle.robots_allows."""
     joined = candidates.join(F.broadcast(robots), "host", "left")
     path = url_path_query(F.col("url"))
     init = F.struct(
@@ -27,7 +30,11 @@ def robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
         F.coalesce(F.col("rules"), F.array()),
         init,
         lambda acc, r: F.when(
-            path.startswith(r["prefix"]) & (F.length(r["prefix"]) > acc["blen"]),
+            path.startswith(r["prefix"])
+            & (
+                (F.length(r["prefix"]) > acc["blen"])
+                | ((F.length(r["prefix"]) == acc["blen"]) & r["allow"])
+            ),
             F.struct(F.length(r["prefix"]).alias("blen"), r["allow"].alias("allow")),
         ).otherwise(acc),
     )

@@ -68,7 +68,9 @@ def init_frontier(spark: SparkSession, seeds: DataFrame) -> FrontierState:
 def frontier_round(
     spark: SparkSession,
     state: FrontierState,
-    link_graph: DataFrame,  # (url string, outlinks array<string>)
+    # (url, outlinks array<string>) table, OR a callable scheduled-urls →
+    # that shape (e.g. sources.fetch.fetching_link_source — a real fetch)
+    link_graph,
     robots: DataFrame | None = None,
     politeness: DataFrame | None = None,
     default_budget: int = 2,
@@ -119,9 +121,12 @@ def frontier_round(
     sched_urls = scheduled.select("url", "priority", "depth")
     new_seen = state.seen.unionByName(sched_urls.select("url")).distinct()
 
-    # fetch: look up outlinks of scheduled urls (production: real fetch)
+    # fetch: look up outlinks of scheduled urls, or run the real fetcher
+    out_edges = (
+        link_graph(sched_urls.select("url")) if callable(link_graph) else link_graph
+    )
     discoveries = (
-        sched_urls.join(link_graph, "url", "inner")
+        sched_urls.join(out_edges, "url", "inner")
         .select(
             F.explode("outlinks").alias("raw_url"),
             (F.col("priority") * F.lit(depth_decay)).alias("priority"),

@@ -48,3 +48,17 @@ def extract_text(html: pd.Series) -> pd.Series:
 
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     return df.withColumn(out_col, extract_text(F.col(html_col)))
+
+
+_HREF = re.compile(rb"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"'<>\s]+)""")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """href values of <a> tags, document order, raw (un-canonicalized —
+    the frontier canonicalizes + dedupes downstream)."""
+    return html.map(
+        lambda b: None
+        if b is None
+        else [m.decode("utf-8", "replace") for m in _HREF.findall(bytes(b))]
+    )

@@ -31,6 +31,7 @@ _UNRESERVED = frozenset(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 _PCT = re.compile(r"%([0-9A-Fa-f]{2})|%")
+_IPV6_AUTH = re.compile(r"^\[(?P<v6>[0-9A-Fa-f:.]+)\](?::(?P<port>\d*))?$")
 
 
 def _pct_norm(s: str) -> str:
@@ -72,14 +73,23 @@ def canonicalize_one(url) -> str | None:
     auth = m["auth"]
     if "@" in auth:  # userinfo not supported by the oracle spec either
         auth = auth.rsplit("@", 1)[1]
-    host, sep, port = auth.partition(":")
-    host = host.lower().rstrip(".")
-    if not host:
-        return None
-    if sep:
-        if port and not port.isdigit():
+    if auth.startswith("["):  # IPv6 literal: keep brackets, lowercase hex
+        m6 = _IPV6_AUTH.match(auth)
+        if m6 is None:
             return None
-        if port and port != _DEFAULT_PORT[scheme]:
+        host = f"[{m6['v6'].lower()}]"
+        port = m6["port"]
+    else:
+        host, _sep, port = auth.partition(":")
+        host = host.lower().rstrip(".")
+    if not host or host == "[]":
+        return None
+    if port is not None and port != "":
+        if not port.isdigit():
+            return None
+        # compare numerically: ':080' IS the default port (oracle twin
+        # uses urlsplit().port, an int)
+        if int(port) != int(_DEFAULT_PORT[scheme]):
             host = f"{host}:{int(port)}"
     path = _pct_norm(_dot_segments(m["path"] or "/"))
     query = m["query"]
@@ -98,6 +108,9 @@ def _host_of(url) -> str | None:
     auth = m["auth"]
     if "@" in auth:
         auth = auth.rsplit("@", 1)[1]
+    if auth.startswith("["):  # IPv6: unbracketed, like urlsplit().hostname
+        m6 = _IPV6_AUTH.match(auth)
+        return m6["v6"].lower() if m6 else None
     return auth.partition(":")[0].lower().rstrip(".") or None
 
 

@@ -93,19 +93,17 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # filter on the UNROUNDED ratio (the oracle SQL's structure): rounding
+    # first would admit ratios in [threshold-5e-7, threshold) that the
+    # oracle excludes
+    raw = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 6).alias("jaccard"))
     )
 
 

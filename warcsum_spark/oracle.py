@@ -346,6 +346,8 @@ def canonicalize_url(url: str) -> str | None:
     except ValueError:
         return None
     default = {"http": 80, "https": 443}[scheme]
+    if ":" in host:  # IPv6 literal — re-bracket (urlsplit strips brackets)
+        host = f"[{host}]"
     netloc = host if port in (None, default) else f"{host}:{port}"
     path = parts.path or "/"
     path = _remove_dot_segments(path)
@@ -409,10 +411,14 @@ def url_host(url: str) -> str:
 
 def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:
     """Longest-prefix-match allow/disallow (Google robots.txt semantics,
-    simplified to plain prefixes). Empty rule list → allowed."""
+    simplified to plain prefixes). Empty rule list → allowed; an
+    equal-length allow/disallow tie resolves to ALLOW (RFC 9309 §2.2.2 /
+    Google's documented rule)."""
     best_len, best_allow = -1, True
     for allow, prefix in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
+        if path.startswith(prefix) and (
+            len(prefix) > best_len or (len(prefix) == best_len and allow)
+        ):
             best_len, best_allow = len(prefix), allow
     return best_allow
 

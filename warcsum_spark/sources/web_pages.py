@@ -14,7 +14,51 @@ from pyspark.sql import functions as F
 
 
 def read_web_pages(spark: SparkSession, path: str) -> DataFrame:
+    """``path`` dispatch: ``table:NAME`` reads a catalog (Iceberg) table,
+    anything else is a parquet directory. One call site to swap when the
+    Iceberg catalog exists."""
+    if path.startswith("table:"):
+        return spark.read.table(path[len("table:"):])
     return spark.read.parquet(path)
+
+
+def read_path_index(
+    spark: SparkSession,
+    source: str,
+    table: str = "path_index",
+    predicates: list[str] | None = None,
+    num_partitions: int = 8,
+    **jdbc_opts: str,
+) -> DataFrame:
+    """The reference's MySQL ``path_index`` lookup table
+    (warccollres.c:299–352 — per-record point queries) as ONE bulk load:
+
+    * ``source`` = ``jdbc:...`` URL → ``spark.read.jdbc`` with either
+      caller ``predicates`` (one partition per predicate) or a plain
+      parallel read; filters/projections still push down to the database.
+    * ``source`` = ``table:NAME`` → catalog (Iceberg) table.
+    * anything else → parquet directory (the sandbox stand-in).
+
+    Always projects to the (filename, url) shape ``resolve_mirror_urls``
+    consumes."""
+    if source.startswith("jdbc:"):
+        reader = spark.read.format("jdbc").option("url", source).option(
+            "dbtable", table
+        ).option("numPartitions", str(num_partitions))
+        for k, v in jdbc_opts.items():
+            reader = reader.option(k, v)
+        if predicates:
+            # spark.read.jdbc(predicates=...) — DataFrameReader.jdbc only;
+            # rebuild through the function API for partition-per-predicate
+            props = dict(jdbc_opts)
+            df = spark.read.jdbc(source, table, predicates=predicates, properties=props)
+        else:
+            df = reader.load()
+    elif source.startswith("table:"):
+        df = spark.read.table(source[len("table:"):])
+    else:
+        df = spark.read.parquet(source)
+    return df.select("filename", "url")
 
 
 def resolve_mirror_urls(manifest: DataFrame, path_index: DataFrame) -> DataFrame:
