@@ -359,6 +359,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_features,
         token_count,
         with_lang_id,
+        word_count_approx_bpe,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -366,6 +367,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_id(docs, "text", "lang_guess").select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        word_count_approx_bpe(F.col("text")).alias("bpe_units"),
         "lang_guess",
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
@@ -404,9 +406,16 @@ def _oracle_text_stats() -> str:
         "CASE WHEN trim(text) = '' THEN 0 ELSE "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END"
     )
+    # BPE-ish subword budget: Σ ceil(len(word)/6) over whitespace words
+    bpe = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(coalesce(list_sum("
+        "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+        "w -> CAST(ceil(length(w) / 6.0) AS BIGINT))), 0) AS BIGINT) END"
+    )
     return f"""
 SELECT doc_id,
        {ntok} AS n_tokens,
+       {bpe} AS bpe_units,
        {lang_sql} AS lang_guess,
        round(({punct}) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
        round(coalesce(({stop}) / CAST(nullif({ntok}, 0) AS DOUBLE), 0.0), 6) AS stopword_ratio,
@@ -444,6 +453,19 @@ WITH scored AS (
 )
 SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
 """
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (k-means quantizer not SQL-expressible); recall vs brute
+    force asserted in tests/test_text_similarity.py."""
+    from warcsum_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(corpus, queries, k=10, n_centroids=16, n_probe=6)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "frontier_schedule": q_frontier_schedule,
         "url_seen_gate": q_url_seen_gate,

@@ -158,6 +158,7 @@ def _scaling_job(spark, input_path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from warcsum_spark.frontier.politeness import schedule_per_host
+    from warcsum_spark.frontier.seen import filter_unseen
     from warcsum_spark.functions.urls import canonicalize_url_fast, url_host
     from warcsum_spark.operators.collres import resolve_collisions
 
@@ -206,7 +207,7 @@ def _scaling_job(spark, input_path: str) -> dict[str, float]:
         # the canonicalizer isn't re-run per consumer branch
         cand = cand.localCheckpoint(eager=True)
         seen = cand.filter(F.col("rep") % 2 == 0).select("url")
-        unseen = cand.join(seen, "url", "left_anti")
+        unseen = filter_unseen(cand, seen)  # hash-first exact anti-join
         # salted two-phase top-k (R7): the input's Zipf-skewed hosts put the
         # hottest host's full candidate list in ONE window task — invisible
         # at 2 cores (everything queues anyway) but a straggler that caps

@@ -52,6 +52,52 @@ def test_broadcast_join_for_small_dim(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(j)
 
 
+def test_minhash_band_join_shuffles_slim_rows(spark):
+    """The band self-join must never shuffle the m×8-byte signature array —
+    only (doc_id, band_id, band_hash) cross the exchange; signatures are
+    re-attached once per surviving candidate pair."""
+    from warcsum_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(docs), bands=16))
+
+    def output_names(project_line: str) -> list[str]:
+        """Top-level output entries of a 'Project [a, expr AS b, ...]' line,
+        reduced to their final name (alias or bare column)."""
+        body = project_line.split("Project [", 1)[1]
+        depth, buf, items = 0, "", []
+        for ch in body:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if ch == "]" and depth == 0:
+                    break
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        items.append(buf)
+        return [it.split(" AS ")[-1].strip() for it in items]
+
+    # every exchange partitioning on band keys must be fed by a projection
+    # whose OUTPUT does not carry the signature array (consuming sig to
+    # compute band_hash is fine; shipping it through the shuffle is not)
+    checked = 0
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        if "band" not in chunk.split("\n", 1)[0]:
+            continue
+        feeder = next((l for l in chunk.splitlines()[1:] if "Project [" in l), "")
+        assert feeder, chunk[:500]
+        names = output_names(feeder)
+        assert not any(n.startswith("sig#") for n in names), names
+        checked += 1
+    assert checked >= 1, plan[:2000]
+
+
 def test_digest_clusters_never_straddle_partitions(spark):
     """O2 parity: warcsumsplit's cluster-preserving split (warcsumsplit:150
     –231) holds by construction under hash partitioning."""

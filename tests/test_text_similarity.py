@@ -160,6 +160,26 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    from warcsum_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+    approx = ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=4).collect()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    # probing half the centroid space must recover well over half the
+    # true neighbors on random vectors
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    again = ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=4).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))  # seeded
+
+
 def test_embedding_near_dup_recall(spark, sf_dir):
     from warcsum_spark.operators.similarity import embedding_near_dup_pairs
 

@@ -240,8 +240,10 @@ def filter_unseen_cuckoo(
         .cogroup(filters.groupBy("partition_id"))
         .applyInPandas(test, schema=out_schema)
     )
+    from warcsum_spark.frontier.seen import anti_join_urls
+
     definitely_new = tested.filter(~F.col("maybe_seen"))
-    confirmed_new = tested.filter(F.col("maybe_seen")).join(seen, "url", "left_anti")
+    confirmed_new = anti_join_urls(tested.filter(F.col("maybe_seen")), seen)
     return definitely_new.unionByName(confirmed_new).drop(
         "partition_id", "h64", "maybe_seen"
     )

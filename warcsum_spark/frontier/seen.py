@@ -62,6 +62,19 @@ def partition_id(n_partitions: int):
     return F.pmod(_h64_col(), F.lit(n_partitions)).cast("int")
 
 
+def anti_join_urls(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """``candidates ∖ seen`` on url, joined on (xxhash64(url), url):
+    identical semantics to a plain url anti-join, but the sort-merge sort
+    key leads with the 8-byte hash, so string comparison only happens
+    between hash-equal rows — a materially cheaper sort than ordering
+    full URL strings when the join is sort-merge at scale."""
+    c = candidates.withColumn("_ah", _h64_col())
+    s = seen.select(_h64_col().alias("_ah"), F.col("url").alias("_au"))
+    return c.join(
+        s, (c["_ah"] == s["_ah"]) & (c["url"] == s["_au"]), "left_anti"
+    ).drop("_ah")
+
+
 def build_seen_filters(
     seen: DataFrame, n_partitions: int = 64, fpp: float = 0.01
 ) -> DataFrame:
@@ -106,7 +119,7 @@ def filter_unseen(
     """Candidates not in seen (exact). With ``filters``, bloom-short-circuit
     first so only maybe-seen rows reach the exact anti-join."""
     if filters is None:
-        return candidates.join(seen, "url", "left_anti")
+        return anti_join_urls(candidates, seen)
 
     cand = candidates.withColumn("partition_id", partition_id(n_partitions)).withColumn(
         "h64", _h64_col()
@@ -143,7 +156,7 @@ def filter_unseen(
     )
     definitely_new = tested.filter(~F.col("maybe_seen"))
     maybe_seen = tested.filter(F.col("maybe_seen"))
-    confirmed_new = maybe_seen.join(seen, "url", "left_anti")
+    confirmed_new = anti_join_urls(maybe_seen, seen)
     return definitely_new.unionByName(confirmed_new).drop(
         "partition_id", "h64", "maybe_seen"
     )

@@ -138,14 +138,15 @@ def frontier_round(
         .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
     )
     # ∖ seen' ∖ pending  (a URL already pending keeps its original priority)
+    from warcsum_spark.frontier.seen import anti_join_urls
+
     discoveries = (
-        discoveries.join(new_seen, "url", "left_anti")
-        .join(pending.select("url"), "url", "left_anti")
+        anti_join_urls(anti_join_urls(discoveries, new_seen), pending.select("url"))
         .withColumn("host", url_host(F.col("url")))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
     new_pending = (
-        pending.join(sched_urls.select("url"), "url", "left_anti")
+        anti_join_urls(pending, sched_urls.select("url"))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
         .unionByName(discoveries)
     )
@@ -159,6 +160,11 @@ def frontier_round(
 
 
 def scheduled_order(scheduled: DataFrame) -> list[str]:
-    """The round's deterministic total crawl order (host ASC, rank ASC)."""
+    """The round's deterministic total crawl order (host ASC, rank ASC).
+
+    WARNING: test/CLI helper only — collects the round's schedule to the
+    driver (O(scheduled rows) driver memory). Production consumers keep
+    the schedule distributed: fetch via sources/fetch.fetch_pages, persist
+    via the checkpoint writer."""
     rows = scheduled.select("host", "host_rank", "url").collect()
     return [r["url"] for r in sorted(rows, key=lambda r: (r["host"], r["host_rank"]))]

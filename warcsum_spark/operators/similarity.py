@@ -18,8 +18,10 @@ any path); all ranking ties break on vec_id ASC for reproducibility.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -79,6 +81,44 @@ def _planes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list[floa
     return rng.randn(n_bits, dim).tolist()
 
 
+def _all_sigs_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """Arrow kernel: embedding → array<long> of all n_tables hyperplane
+    signatures in ONE batch matmul (V @ P), replacing n_tables·n_bits
+    interpreted zip_with/aggregate dot products per row. Same sign rule
+    (bit set iff dot > 0) and the same seeded planes as ``_planes``."""
+    planes = np.stack(
+        [np.array(_planes(dim, n_bits, t, seed), dtype=np.float64) for t in range(n_tables)]
+    )  # [n_tables, n_bits, dim]
+    P = planes.reshape(n_tables * n_bits, dim).T  # [dim, n_tables*n_bits]
+    weights = (1 << np.arange(n_bits, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ P) > 0  # [n, n_tables*n_bits]
+        packed = (
+            (bits.reshape(n, n_tables, n_bits) * weights).sum(axis=2).astype(np.int64)
+        )
+        return pd.Series(list(packed))
+
+    return sigs
+
+
+def _with_table_sigs(
+    df: DataFrame, vec_inner: str, dim: int, n_bits: int, n_tables: int, seed: int
+) -> DataFrame:
+    """+ (table_id, sig) rows via the vectorized signature kernel."""
+    sigged = df.withColumn(
+        "_sigs", _all_sigs_udf(dim, n_bits, n_tables, seed)(F.col(vec_inner))
+    )
+    return sigged.select(
+        *df.columns, F.posexplode("_sigs").alias("table_id", "sig")
+    )
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """n_bits-bit random-hyperplane signature as a long (JVM expressions)."""
     sig = F.lit(0).cast("long")
@@ -115,21 +155,7 @@ def embedding_near_dup_pairs(
     shared buckets, never a cross join. Near-dup embeddings (cos ≥ 0.95 →
     angle ≤ 18°) collide in ≥1 of n_tables with high probability."""
     base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    buckets = base.select(
-        "vec_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col("_v"), _planes(dim, n_bits, t, seed)).alias("sig"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "_v", "b.table_id", "b.sig")
+    buckets = _with_table_sigs(base, "_v", dim, n_bits, n_tables, seed)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -171,36 +197,8 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    c_buckets = c.select(
-        "vec_id",
-        "_cvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col("_cvec"), _planes(dim, n_bits, t, seed)).alias("sig"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
-    ).select("vec_id", "_cvec", "bucket.table_id", "bucket.sig")
-    q_buckets = q.select(
-        "query_id",
-        "_qvec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        lsh_signature(F.col("_qvec"), _planes(dim, n_bits, t, seed)).alias("sig"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("bucket"),
-    ).select("query_id", "_qvec", "bucket.table_id", "bucket.sig")
+    c_buckets = _with_table_sigs(c, "_cvec", dim, n_bits, n_tables, seed)
+    q_buckets = _with_table_sigs(q, "_qvec", dim, n_bits, n_tables, seed)
 
     cands = (
         c_buckets.join(F.broadcast(q_buckets), ["table_id", "sig"])
@@ -209,6 +207,112 @@ def lsh_topk(
     )
     scored = cands.withColumn("score", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    train_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a bounded sample
+    (standard IVF practice — training reads ≤ ``train_size`` rows, never
+    the full corpus). Deterministic: seeded init, Lloyd iterations on
+    L2-normalized vectors, empty clusters reseeded to the worst-assigned
+    point. Returns [n_centroids, dim] unit-norm float64."""
+    rows = corpus.select(vec_col).limit(train_size).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        best = sims.max(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members) == 0:  # reseed to the globally worst-fit point
+                C[c] = X[best.argmin()]
+                best[best.argmin()] = 1.0
+                continue
+            m = members.sum(axis=0)
+            C[c] = m / np.maximum(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    """embedding → array<int> of the n_probe nearest centroid ids (one
+    batch matmul; centroids ride the closure — a few KB)."""
+    Ct = centroids.T  # [dim, n_centroids]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ Ct
+        p = min(n_probe, sims.shape[1])
+        # argsort desc, stable → deterministic probe order
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid posting
+    list (ONE int per row); each query probes its ``n_probe`` nearest
+    lists and scores exact cosine only there. At 100 TB the posting-list
+    assignment is a single pass, the centroid table is broadcast-sized by
+    construction, and query cost is |Q|·(N·n_probe/n_centroids)."""
+    C = train_ivf_centroids(
+        corpus, n_centroids, train_size, seed=seed, vec_col=vec_col
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c_assigned = c.withColumn(
+        "centroid_id", _ivf_assign_udf(C, 1)(F.col("_cvec")).getItem(0)
+    )
+    q_probed = q.select(
+        "query_id",
+        "_qvec",
+        F.explode(_ivf_assign_udf(C, n_probe)(F.col("_qvec"))).alias("centroid_id"),
+    )
+    cands = c_assigned.join(F.broadcast(q_probed), "centroid_id").select(
+        "query_id", "vec_id", "_qvec", "_cvec"
+    )
+    scored = cands.withColumn(
+        "score", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

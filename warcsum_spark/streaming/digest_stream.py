@@ -3,10 +3,11 @@
 The digest stage is stateless per row, so it lifts directly onto
 Structured Streaming: a file-source stream of ``web_pages``-shaped parquet
 (or a Kafka source in production) → the same ``digest_manifest`` plan →
-an append sink. The only stateful piece of the whole engine is the
-URL-seen set, which stays in the batch superstep loop (Iceberg-backed),
-so no ``applyInPandasWithState`` is needed — new archives landing in the
-input directory stream straight into manifest rows exactly once per file.
+an append sink — new archives landing in the input directory stream
+straight into manifest rows exactly once per file. The crawl's primary
+URL-seen set stays in the batch superstep loop (Iceberg-backed); the
+streaming-side stateful counterpart (first-seen across micro-batches via
+``applyInPandasWithState``) lives in ``streaming/seen_stream.py``.
 
 The reference has no streaming counterpart at all (pure batch,
 warccollres.c:1241's line loop included); this module exists because a
