@@ -105,12 +105,18 @@ def test_winnow_vectorized_throughput():
     import pandas as pd
 
     vec = winnow_fingerprint.func
-    t0 = time.perf_counter()
-    out_vec = vec(pd.Series([doc]))[0]
-    t_vec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out_scalar = _winnow_scalar(doc)
-    t_scalar = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        # min-of-N: robust to ambient co-tenant load spikes on one trial
+        best, out = float("inf"), None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_vec, out_vec = best_of(lambda: vec(pd.Series([doc]))[0])
+    t_scalar, out_scalar = best_of(lambda: _winnow_scalar(doc))
     assert list(out_vec) == out_scalar
     assert t_scalar / t_vec >= 5, (t_scalar, t_vec)
 
