@@ -281,6 +281,26 @@ def _hw_probe(workers: int, seconds: float = 3.0) -> tuple[float, float]:
     return rates[0], rates[1]
 
 
+def _pin_cpus(cores: int) -> None:
+    """Confine this process tree to exactly `cores` physical CPUs.
+
+    ``local[N]`` alone is NOT a faithful N-core executor: the JVM sizes GC
+    threads, shuffle/IO pools and codegen compilers to the 32-core box, and
+    Arrow Python workers run on whatever cores are free — so an unpinned
+    local[2] borrows 30 idle cores' worth of ambient capacity, inflating
+    the small-N baseline and deflating measured N→4N efficiency. Pinning
+    before the JVM/probe processes are spawned makes every descendant
+    (JVM threads, Python workers, hw probes) share the N cores, exactly as
+    an N-core executor container would (cgroup cpuset semantics). The box
+    has 32 uniform physical cores (no SMT), so {0..N-1} is an unbiased
+    choice."""
+    avail = os.cpu_count() or 1
+    if cores < avail:
+        os.sched_setaffinity(0, set(range(cores)))
+    else:
+        os.sched_setaffinity(0, set(range(avail)))
+
+
 def _run_level(cores: int, workdir: str) -> dict:
     from pyspark.sql import SparkSession
 
@@ -288,6 +308,7 @@ def _run_level(cores: int, workdir: str) -> dict:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    _pin_cpus(cores)
     hash_rate, mem_gbs = _hw_probe(cores)
     spark = _session(cores, 4 * cores)
     input_path = _scaling_input(spark, workdir)
@@ -373,14 +394,21 @@ def run_scaling(sf_dir: str) -> None:
     results = {}
     for cores in levels:
         path = f"BENCH/scaling_{cores}.json"
-        if merge_only:
-            if os.path.exists(path):
-                with open(path) as f:
-                    results[cores] = json.load(f)
-        else:
-            results[cores] = _run_level(cores, workdir)
-            with open(path, "w") as f:
-                json.dump(results[cores], f, indent=1)
+        if not merge_only:
+            # each level in its OWN process: py4j keeps the first level's
+            # JVM (and its CPU affinity) alive in-process, so a same-process
+            # second level would run partly unpinned
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling",
+                 "--level", str(cores)],
+                check=True,
+                env={**os.environ, "WARCSUM_BENCH_DIR": workdir},
+            )
+        if os.path.exists(path):
+            with open(path) as f:
+                results[cores] = json.load(f)
     pairs = [(n, 4 * n) for n in levels if n in results and 4 * n in results]
     effs = {}
     for n, n4 in pairs:

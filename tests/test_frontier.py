@@ -134,10 +134,17 @@ def test_canonicalizer_matches_oracle(spark):
 
 
 def test_fast_canonicalizer_equals_udf(spark):
-    """The JVM fast path must agree with the Arrow UDF on EVERY url —
-    fixture urls, simulator-discovered urls, and adversarial forms."""
+    """The UDF's vectorized accept-regex tier must agree with the per-row
+    ``canonicalize_one`` spec on EVERY url — fixture urls,
+    simulator-discovered urls, and adversarial forms. (The tiering lives
+    inside the UDF: a JVM CASE around an ArrowEvalPython cannot skip rows,
+    so there is no separate JVM fast path to cross-check anymore.)"""
     from warcsum_spark.fixtures import gen_web_pages
-    from warcsum_spark.functions.urls import canonicalize_url, canonicalize_url_fast
+    from warcsum_spark.functions.urls import (
+        canonicalize_one,
+        canonicalize_url,
+        canonicalize_url_fast,
+    )
 
     urls = [r["url"] for r in gen_web_pages(400, seed=11)]
     _seeds, lg, _b, _r = gen_frontier_fixture()
@@ -163,11 +170,13 @@ def test_fast_canonicalizer_equals_udf(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     rows = df.select(
         "url",
-        canonicalize_url("url").alias("slow"),
+        canonicalize_url("url").alias("tiered"),
         canonicalize_url_fast(F.col("url")).alias("fast"),
     ).collect()
     for r in rows:
-        assert r["fast"] == r["slow"], r["url"]
+        spec = canonicalize_one(r["url"])
+        assert r["tiered"] == spec, r["url"]
+        assert r["fast"] == spec, r["url"]
 
 
 def test_robots_equal_length_tie_resolves_to_allow(spark):

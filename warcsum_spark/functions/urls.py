@@ -114,36 +114,60 @@ def _host_of(url) -> str | None:
     return auth.partition(":")[0].lower().rstrip(".") or None
 
 
-@F.pandas_udf(T.StringType())
-def canonicalize_url(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_one)
-
-
-@F.pandas_udf(T.StringType())
-def url_host(urls: pd.Series) -> pd.Series:
-    return urls.map(_host_of)
-
-
 # A URL this regex accepts is ALREADY in canonical form: lowercase
 # http(s), strict lowercase hostname (no trailing dot, no userinfo, no
 # port — default ports are the only ones most crawls see, and non-default
-# ports fall through to the UDF), a path that starts with '/', and no
+# ports fall through to the slow path), a path that starts with '/', and no
 # '%' escapes, '#' fragment, empty query, or '.'/'..' segments anywhere.
 # For every accepted URL, canonicalize(url) == url (property-tested).
 _CANONICAL_RE = (
     r"^https?://"
-    r"[a-z0-9]([a-z0-9\-]*[a-z0-9])?(\.[a-z0-9]([a-z0-9\-]*[a-z0-9])?)*"
-    r"/[^%#?\s]*(\?[^%#\s]+)?$"
+    r"[a-z0-9](?:[a-z0-9\-]*[a-z0-9])?(?:\.[a-z0-9](?:[a-z0-9\-]*[a-z0-9])?)*"
+    r"/[^%#?\s]*(?:\?[^%#\s]+)?$"
 )
+_CANONICAL_C = re.compile(_CANONICAL_RE)
+_DOTSEG_C = re.compile(r"/\.\.?(/|$)")
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    """Two-tier INSIDE the UDF: a vectorized (C-loop) regex accepts
+    already-canonical URLs verbatim — the common case in a well-behaved
+    crawl — and only the messy tail goes through the per-row
+    ``canonicalize_one``. The tiering must live inside the UDF, not in a
+    JVM ``F.when``: Catalyst's ExtractPythonUDFs hoists a Python UDF out of
+    CASE WHEN and evaluates it for EVERY row, so a JVM-side fast path
+    never actually skips Python work (verified on the physical plan)."""
+    fast = urls.str.match(_CANONICAL_C, na=False) & ~urls.str.contains(
+        _DOTSEG_C, na=False
+    )
+    out = urls.where(fast, None)
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(canonicalize_one)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    """Vectorized host extraction for plain authorities (no userinfo /
+    IPv6 bracket), per-row fallback for the rest."""
+    ext = urls.str.extract(
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@\[]+)(?=[/:?#]|$)", expand=False
+    )
+    out = ext.str.lower().str.rstrip(".")
+    out = out.where(out != "", None)
+    slow = out.isna()
+    if slow.any():
+        out[slow] = urls[slow].map(_host_of)
+    return out
 
 
 def canonicalize_url_fast(url: Column) -> Column:
-    """Hybrid canonicalizer: JVM-side regex fast path for already-canonical
-    URLs (the common case in a well-behaved crawl), Arrow-UDF slow path for
-    the rest. At 10^10-URL scale this keeps most rows out of the Python
-    workers entirely — the UDF only sees the messy tail."""
-    fast = url.rlike(_CANONICAL_RE) & ~url.rlike(r"/\.\.?(/|$)")
-    return F.when(fast, url).otherwise(canonicalize_url(url))
+    """Kept as the public name used by the superstep/bench; the fast path
+    now lives inside ``canonicalize_url`` itself (see its docstring — a
+    JVM-side CASE cannot skip an ArrowEvalPython)."""
+    return canonicalize_url(url)
 
 
 def url_hash(canon_url: Column) -> Column:
