@@ -133,6 +133,42 @@ def test_canonicalizer_matches_oracle(spark):
     assert got == expect
 
 
+def test_url_host_canonical_matches_udf(spark):
+    """The JVM host extractor must agree with the url_host UDF on every
+    CANONICAL url (its documented domain) — including ports, IPv6
+    literals, and null canonicalization failures."""
+    from warcsum_spark.fixtures import gen_web_pages
+    from warcsum_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+        url_host_canonical,
+    )
+
+    urls = [r["url"] for r in gen_web_pages(300, seed=23)]
+    urls += [
+        "http://host.test:8080/x",
+        "http://host.test:80/x",
+        "http://[::1]/x",
+        "http://[2001:db8::1]:8443/x",
+        "HTTP://Host.test./x",
+        "http://user@host.test/x",
+        "not a url",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.withColumn("canon", canonicalize_url("url"))
+        .select(
+            "canon",
+            url_host(F.col("canon")).alias("udf_host"),
+            url_host_canonical(F.col("canon")).alias("jvm_host"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["jvm_host"] == r["udf_host"], r["canon"]
+
+
 def test_fast_canonicalizer_equals_udf(spark):
     """The UDF's vectorized accept-regex tier must agree with the per-row
     ``canonicalize_one`` spec on EVERY url — fixture urls,

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from warcsum_spark.frontier.politeness import schedule_per_host
 from warcsum_spark.frontier.robots import robots_allowed
 from warcsum_spark.frontier.seen import build_seen_filters, filter_unseen
-from warcsum_spark.functions.urls import canonicalize_url_fast, url_host
+from warcsum_spark.functions.urls import canonicalize_url, url_host_canonical
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -51,13 +51,11 @@ def init_frontier(spark: SparkSession, seeds: DataFrame) -> FrontierState:
     """seeds(url, priority) → round-0 state. Seed URLs are canonicalized;
     duplicates collapse keeping the max priority (set semantics)."""
     pending = (
-        seeds.select(
-            canonicalize_url_fast(F.col("url")).alias("url"), F.col("priority")
-        )
+        seeds.select(canonicalize_url(F.col("url")).alias("url"), F.col("priority"))
         .filter(F.col("url").isNotNull())
         .groupBy("url")
         .agg(F.max("priority").alias("priority"))
-        .withColumn("host", url_host(F.col("url")))
+        .withColumn("host", url_host_canonical(F.col("url")))
         .withColumn("depth", F.lit(0))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
@@ -132,7 +130,7 @@ def frontier_round(
             (F.col("priority") * F.lit(depth_decay)).alias("priority"),
             (F.col("depth") + 1).alias("depth"),
         )
-        .withColumn("url", canonicalize_url_fast(F.col("raw_url")))
+        .withColumn("url", canonicalize_url(F.col("raw_url")))
         .filter(F.col("url").isNotNull())
         .groupBy("url")
         .agg(F.max("priority").alias("priority"), F.min("depth").alias("depth"))
@@ -142,7 +140,7 @@ def frontier_round(
 
     discoveries = (
         anti_join_urls(anti_join_urls(discoveries, new_seen), pending.select("url"))
-        .withColumn("host", url_host(F.col("url")))
+        .withColumn("host", url_host_canonical(F.col("url")))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
     new_pending = (

@@ -19,9 +19,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Rows carrying raw page bytes are big; bound Arrow batches so a Python
-# worker holds ~tens of MB, not a whole 128 MB task partition, at once.
-ARROW_MAX_RECORDS_PER_BATCH = 2048
+# Arrow batch sizing: the BYTE bound is what protects Python workers from
+# rows carrying multi-MB html/payload binaries; the RECORD bound alone
+# (the old 2048 cap) strangled narrow-row UDFs — a 4M-row URL column
+# became ~2000 batches/partition whose per-batch overhead was ~10× the
+# regex kernel itself (measured in the frontier stage). Large record cap +
+# 32 MB byte cap gives big batches for narrow rows and bounded memory for
+# fat ones.
+ARROW_MAX_RECORDS_PER_BATCH = 65536
+ARROW_MAX_BYTES_PER_BATCH = str(32 * 1024 * 1024)
 
 
 def get_spark(
@@ -57,6 +63,10 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            ARROW_MAX_BYTES_PER_BATCH,
         )
         # local mode = driver-only JVM; leave headroom for 32 threads of
         # Tungsten pages + Arrow buffers.
