@@ -619,6 +619,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) of the events log — the
+    crawl/visit-grouping operator (operators/sessions.py): single hash
+    exchange for lag + running-sum + session aggregate."""
+    from warcsum_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+# Both engines compare FLOORED epoch seconds (Spark's cast(ts as long)
+# floors; DuckDB CAST(double AS BIGINT) rounds — hence the explicit FLOOR)
+# and session_no is cast to BIGINT (DuckDB window SUM of int is HUGEINT).
+ORACLE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       COUNT(*) AS n_events,
+       MIN(ts)  AS start_ts,
+       MAX(ts)  AS end_ts,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+         - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+       ROUND(SUM(value), 4) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_no
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -653,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_seen_gate": q_url_seen_gate,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -676,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": ORACLE_FRONTIER_SCHEDULE,
         "url_seen_gate": ORACLE_URL_SEEN,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
+        "sessionize_events": ORACLE_SESSIONS,
         # rows-only (non-SQL-expressible): minhash_lsh_docs, simhash_docs,
         # ann_lsh, multimodal_features — covered by pytest oracles instead.
     }
