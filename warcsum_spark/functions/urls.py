@@ -1,10 +1,14 @@
 """URL column functions for the frontier (R1/R2, BASELINE.json north_star:
 "murmur3 over RFC-3986-normalized URLs").
 
-Canonicalization is pure-Python string work with no Spark built-in, so it
-runs as an Arrow-batched pandas UDF (never per-row Python through serde).
-Hashing stays JVM-side: ``F.hash`` *is* murmur3_x86_32 (seed 42) and
-``F.xxhash64`` the 64-bit variant — no UDF needed.
+Canonicalization has no Spark built-in, so it runs as an arrow_udf over
+``pyarrow.Array`` buffers: the canonical-form accept-regex executes as
+RE2 in C with zero Python object boxing, and only the non-canonical tail
+is touched per-row (never row-at-a-time Python through serde). Hashing
+stays JVM-side: ``F.hash`` *is* murmur3_x86_32 (seed 42) and
+``F.xxhash64`` the 64-bit variant — no UDF needed. Host extraction from
+an already-canonical URL is a pure JVM expression
+(``url_host_canonical``).
 
 This is an independent implementation of the same spec as
 ``oracle.canonicalize_url`` (the tests cross-check them):
