@@ -268,3 +268,34 @@ def test_checkpoint_resume_equals_uninterrupted(spark, tmp_path):
             spark, resumed, lg_df, robots=robots_df, politeness=pol_df
         )
         assert scheduled_order(scheduled) == sim.scheduled_per_round[rnd], f"round {rnd}"
+
+
+def test_checkpoint_host_hash_bucketed_layout(spark, tmp_path):
+    """host_hash_buckets writes a host_bucket=N partitioned layout
+    (north_rule frontier-by-host-hash) and resume drops the layout column
+    while preserving the frontier content exactly."""
+    import os as _os
+
+    from warcsum_spark.frontier.checkpoint import load_checkpoint, save_checkpoint
+
+    (_seeds, _lg, _b, _r, seeds_df, lg_df, pol_df, robots_df) = _fixture_dfs(spark)
+    state = init_frontier(spark, seeds_df)
+    state, _ = frontier_round(spark, state, lg_df, robots=robots_df, politeness=pol_df)
+
+    plain = str(tmp_path / "plain")
+    bucketed = str(tmp_path / "bucketed")
+    save_checkpoint(plain, state)
+    save_checkpoint(bucketed, state, host_hash_buckets=4)
+
+    pend_dir = _os.path.join(bucketed, f"round_{state.round_no:06d}", "pending")
+    buckets = [n for n in _os.listdir(pend_dir) if n.startswith("host_bucket=")]
+    assert buckets, _os.listdir(pend_dir)
+
+    a = load_checkpoint(spark, plain)
+    b = load_checkpoint(spark, bucketed)
+    assert a.pending.columns == b.pending.columns  # layout column dropped
+
+    def rows(df):
+        return sorted((r.asDict() for r in df.collect()), key=lambda d: d["url"])
+
+    assert rows(a.pending) == rows(b.pending)

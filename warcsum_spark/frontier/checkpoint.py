@@ -59,13 +59,37 @@ def save_checkpoint(
     state: FrontierState,
     metrics: dict | None = None,
     filters=None,
+    host_hash_buckets: int = 0,
 ) -> str:
     """``filters`` (optional): the url_seen blob table (bloom or cuckoo,
     (partition_id, n_keys, filter_blob)) — persisted for observability and
     warm-start; correctness never depends on it since load rebuilds blobs
-    from the seen table (zero-false-negative guarantee, SURVEY §7 #4)."""
+    from the seen table (zero-false-negative guarantee, SURVEY §7 #4).
+
+    ``host_hash_buckets`` > 0 lays the pending frontier out partitioned by
+    ``host_bucket = pmod(xxhash64(host), n)`` (north_rule: 'partitions the
+    10^10-URL frontier by host-hash'): on plain parquet this is a
+    directory-partitioned layout the resumed read can prune by bucket; on
+    Iceberg the same column maps to a ``bucket(N, host)`` partition
+    transform. The politeness stage groups by host, so a bucketed layout
+    means a resumed round's first window shuffle starts from host-wise
+    clustered files instead of a random scatter. The bucket column is
+    layout-only — ``load_checkpoint`` drops it."""
     d = _round_dir(root, state.round_no)
-    state.pending.write.mode("overwrite").parquet(os.path.join(d, "pending"))
+    pending_w = state.pending
+    if host_hash_buckets and host_hash_buckets > 1:
+        pending_w = (
+            pending_w.withColumn(
+                "host_bucket",
+                F.pmod(F.xxhash64("host"), F.lit(host_hash_buckets)).cast("int"),
+            )
+            .repartition("host_bucket")
+            .write.mode("overwrite")
+            .partitionBy("host_bucket")
+        )
+        pending_w.parquet(os.path.join(d, "pending"))
+    else:
+        pending_w.write.mode("overwrite").parquet(os.path.join(d, "pending"))
     state.seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
     if filters is not None:
         filters.write.mode("overwrite").parquet(os.path.join(d, "url_seen_filters"))
@@ -113,6 +137,11 @@ def load_checkpoint(spark: SparkSession, root: str, k: int | None = None) -> Fro
         if k is None:
             raise FileNotFoundError(f"no committed checkpoint under {root}")
     d = _round_dir(root, k)
-    pending = spark.read.schema(FRONTIER_SCHEMA).parquet(os.path.join(d, "pending"))
+    # no forced read-schema: a host-bucketed layout adds a host_bucket
+    # partition directory column, which a fixed schema would reject.
+    # Project + cast back to the frontier contract instead.
+    pending = spark.read.parquet(os.path.join(d, "pending")).select(
+        *[F.col(f.name).cast(f.dataType) for f in FRONTIER_SCHEMA.fields]
+    )
     seen = spark.read.schema(SEEN_SCHEMA).parquet(os.path.join(d, "seen"))
     return FrontierState(pending=pending, seen=seen, round_no=k)
