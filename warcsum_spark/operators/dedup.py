@@ -10,12 +10,14 @@ Scale stances:
   self-join on shared shingles. Quadratic in the worst case; intended for
   verification and small candidate pools, and as the DuckDB-checkable
   ground truth for the approximate methods.
-* **minhash-lsh** — the scale path: k-word shingles → m minhash values
-  (xxhash64 + Kirsch–Mitzenmacher double hashing, all JVM expressions) →
-  b bands joined on (band_id, band_hash) → candidate pairs verified
-  against the estimated Jaccard. Shuffle volume is O(rows × b), never
-  O(rows²); hot buckets (boilerplate shingle sets) are exactly-equal
-  documents and collapse through the exact pass first in production.
+* **minhash-lsh** — the scale path: one arrow_udf computes tokens →
+  k-shingle chain → m minhash values → per-band bucket hashes entirely in
+  numpy/pyarrow (zero shuffles, near-zero Catalyst surface — see
+  _minhash_text_udf for the measured history); then b bands joined on
+  (band_id, band_hash) → candidate pairs verified against the estimated
+  Jaccard. Shuffle volume is O(rows × b), never O(rows²); hot buckets
+  (boilerplate shingle sets) are exactly-equal documents and collapse
+  through the exact pass first in production.
 * **simhash** — 64-bit signature via per-token hash bit-voting, Hamming
   ≤ d candidate pairing by (d+1)-block pigeonhole join (complete by
   construction; block count parametrized and validated).
@@ -25,6 +27,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -157,43 +161,133 @@ _SM_M1 = 0xBF58476D1CE4E5B9
 _SM_M2 = 0x94D049BB133111EB
 
 
-def _minhash_sig_udf(num_hashes: int):
-    """Arrow-vectorized minhash kernel: Series[array<long>] → Series[array<long>].
+_SM_GAMMA2 = 0xD1B54A32D192ED03  # second odd mixing constant
+_U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    For each row's distinct shingle hashes h, sig[i] = min over h of
-    splitmix64(h ^ i·γ) — m independent mixes of the fixed 8-byte shingle
-    hash, fully vectorized in numpy over the flattened batch
-    (``np.minimum.reduceat`` per hash index; no per-row Python loop).
-    """
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(hs: pd.Series) -> pd.Series:
-        n = len(hs)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
-        flat = (
-            np.concatenate(arrs).view(np.uint64)
-            if lens.sum()
-            else np.empty(0, np.uint64)
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    m1, m2 = np.uint64(_SM_M1), np.uint64(_SM_M2)
+    z = (z ^ (z >> np.uint64(30))) * m1
+    z = (z ^ (z >> np.uint64(27))) * m2
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_text_udf(num_hashes: int, k: int, bands: int):
+    """One arrow_udf from raw ``text`` to struct(sig, bands): tokenize
+    (pyarrow C kernels), position-weighted splitmix64 token hashes over
+    the raw UTF-8 byte buffer, k-token shingle chain, m minhash minima,
+    and per-band hashes — ALL inside one numpy kernel over the flattened
+    batch (reduceat segments; zero per-row Python).
+
+    Why one kernel instead of Catalyst expressions: every JVM formulation
+    of the shingle chain (64-way min-aggregates, higher-order-function
+    lambdas, zip_with chains) paid seconds of per-session Janino
+    whole-stage-codegen compile and/or interpreted-HOF evaluation — with
+    the arithmetic in Python there is nothing for the JVM to compile, and
+    the operator's only Catalyst surface is a parquet scan + one
+    ArrowEvalPython. Docs with fewer than k tokens (and null docs) yield
+    a null struct; callers filter on it. Overflow note: uint64 wrapping
+    is the hash semantics (np.seterr has no effect on unsigned wrap)."""
+    gamma, gamma2 = np.uint64(_SM_GAMMA), np.uint64(_SM_GAMMA2)
+    rpb = num_hashes // bands
+    if rpb * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    out_type = T.StructType(
+        [
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("bands", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    # return hint must be pa.Array: a pa.StructArray hint makes the UDF
+    # type inference pick GROUPED_AGG (StructArray is returned fine)
+    @F.arrow_udf(out_type)
+    def sig_bands(texts: pa.Array) -> pa.Array:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        split = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.utf8_lower(texts))
         )
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n = len(split)
+        row_off = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_off = row_off - row_off[0]
+        row_lens = np.diff(row_off)
+        null_rows = np.asarray(split.is_null())
+        tok = split.flatten()
+        n_tok = len(tok)
+        if n_tok:
+            dt = np.int64 if pa.types.is_large_string(tok.type) else np.int32
+            offs = np.frombuffer(tok.buffers()[1], dtype=dt)[
+                tok.offset : tok.offset + n_tok + 1
+            ].astype(np.int64)
+            data = np.frombuffer(tok.buffers()[2], dtype=np.uint8)
+            base = offs[0]
+            starts = offs[:-1] - base
+            lens_t = np.diff(offs)
+            tb = int(offs[-1] - base)
+            if tb:
+                dd = data[base : offs[-1]]
+                pos_in = np.arange(tb, dtype=np.int64) - np.repeat(starts, lens_t)
+                z = _splitmix(
+                    dd.astype(np.uint64)
+                    ^ (pos_in.astype(np.uint64) + np.uint64(1)) * gamma2
+                )
+                # empty tokens only occur on rows with < k tokens (split of
+                # "" → [""]) — clamp reduceat indices, value is irrelevant
+                tok_hash = np.add.reduceat(z, np.minimum(starts, tb - 1))
+                tok_hash[lens_t == 0] = np.uint64(0)
+            else:
+                tok_hash = np.zeros(n_tok, np.uint64)
+            tok_hash = _splitmix(tok_hash ^ lens_t.astype(np.uint64) * gamma2)
+        else:
+            tok_hash = np.empty(0, np.uint64)
+        valid_row = (row_lens >= k) & ~null_rows
+        # shingle chain over k consecutive tokens via shifted views
+        shingle = _splitmix(tok_hash)
+        for j in range(1, k):
+            sh = np.zeros_like(tok_hash)
+            if n_tok > j:
+                sh[: n_tok - j] = tok_hash[j:]
+            shingle = _splitmix(shingle ^ sh)
+        # windows crossing into the next row are masked to MAX (min-ignored)
+        pos_in_row = np.arange(n_tok, dtype=np.int64) - np.repeat(
+            row_off[:-1], row_lens
+        )
+        crossing = pos_in_row > np.repeat(row_lens - k, row_lens)
         out = np.empty((n, num_hashes), dtype=np.uint64)
-        gamma = np.uint64(_SM_GAMMA)
-        m1, m2 = np.uint64(_SM_M1), np.uint64(_SM_M2)
+        red_idx = np.minimum(row_off[:-1], max(n_tok - 1, 0))
         for i in range(num_hashes):
-            z = flat ^ (np.uint64(i) * gamma + gamma)  # wrapping uint64 math
-            z = (z ^ (z >> np.uint64(30))) * m1
-            z = (z ^ (z >> np.uint64(27))) * m2
-            z ^= z >> np.uint64(31)
-            # callers guarantee no empty rows (size(_hs) > 0 filter), so
-            # every reduceat segment is non-empty
-            out[:, i] = np.minimum.reduceat(z, offsets)
-        signed = out.view(np.int64)
-        return pd.Series(list(signed))
+            zz = _splitmix(shingle ^ (np.uint64(i) * gamma + gamma))
+            zz[crossing] = _U64MAX
+            if n_tok:
+                out[:, i] = np.minimum.reduceat(zz, red_idx)
+            else:
+                out[:, i] = _U64MAX
+        bnd = np.empty((n, bands), dtype=np.uint64)
+        for j in range(bands):
+            h = np.full(n, _splitmix(np.uint64(j + 1) * gamma), dtype=np.uint64)
+            for r in range(rpb):
+                h = _splitmix(h ^ out[:, j * rpb + r])
+            bnd[:, j] = h
+        sig_flat = out[valid_row].ravel().view(np.int64)
+        bnd_flat = bnd[valid_row].ravel().view(np.int64)
+        so = np.zeros(n + 1, np.int32)
+        np.cumsum(np.where(valid_row, num_hashes, 0), out=so[1:])
+        bo = np.zeros(n + 1, np.int32)
+        np.cumsum(np.where(valid_row, bands, 0), out=bo[1:])
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(so, type=pa.int32()), pa.array(sig_flat, type=pa.int64())
+        )
+        bnd_arr = pa.ListArray.from_arrays(
+            pa.array(bo, type=pa.int32()), pa.array(bnd_flat, type=pa.int64())
+        )
+        return pa.StructArray.from_arrays(
+            [sig_arr, bnd_arr], names=["sig", "bands"], mask=pa.array(~valid_row)
+        )
 
-    return sig
+    return sig_bands
 
 
 def minhash_signatures(
@@ -202,24 +296,31 @@ def minhash_signatures(
     num_hashes: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_bands: bool = False,
+    bands: int = 16,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — m minhash values per doc, ZERO shuffles.
+    """(doc_id, sig array<long>[, bands array<long>]) — m minhash values
+    per doc, ZERO shuffles and (by design) almost zero Catalyst surface:
+    parquet scan → ONE arrow_udf (tokenize/shingle/minhash/bands all in
+    numpy — see _minhash_text_udf) → null filter. Embarrassingly parallel
+    at 100 TB. History of rejected formulations: explode → distinct →
+    64-way min-aggregate (two full shuffles + ~17 s codegen compile);
+    pure Catalyst higher-order functions (25× slower, interpreted HOF
+    eval + CollapseProject re-running the tokenizer per element);
+    JVM zip_with shingle chain feeding a numpy min kernel (right shape,
+    but ~2.3 s/session of Janino compile for the generated projection).
 
-    The shingle-hash array is one JVM projection per row (split → window →
-    xxhash64 → array_distinct); the m minima come from an Arrow-batched
-    numpy kernel. Embarrassingly parallel at 100 TB: the previous
-    explode → distinct → 64-way min-aggregate design paid two full
-    shuffles of every (doc_id, shingle_hash) row plus a ~17 s
-    whole-stage-codegen compile for the 64 aggregate buffers; a pure
-    Catalyst higher-order-function form was 25× slower still (interpreted
-    HOF eval, and CollapseProject inlines the shingle expression into the
-    lambda body, re-running the regex split per (i, element))."""
+    ``with_bands=True`` also returns the per-band LSH bucket hashes,
+    computed in the same kernel pass — band hashing is then free and the
+    banding stage downstream is a plain posexplode."""
+    udf = _minhash_text_udf(num_hashes, k, bands if with_bands else 1)
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), _shingle_hash_array(text_col, k).alias("_hs")
-    ).filter(F.size("_hs") > 0)  # shingle-less docs have no signature (as before)
-    return staged.select(
-        "doc_id", _minhash_sig_udf(num_hashes)(F.col("_hs")).alias("sig")
-    )
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("_mb")
+    ).filter(F.col("_mb").isNotNull())  # docs with < k tokens: no signature
+    cols = ["doc_id", F.col("_mb.sig").alias("sig")]
+    if with_bands:
+        cols.append(F.col("_mb.bands").alias("bands"))
+    return staged.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -236,23 +337,33 @@ def lsh_candidate_pairs(
     with the same groupBy that counts matching bands, then the signatures
     are re-attached ONCE per side to compute the estimate. ``signatures``
     is cached because three plan branches consume it (banding + the two
-    re-attach joins) — without the cache the 64-way min-aggregate would
-    recompute per branch."""
-    sig_len_col = F.size("sig")
-    rows_per_band = (sig_len_col / bands).cast("int")
+    re-attach joins) — without the cache the signature kernel would
+    recompute per branch.
+
+    If the input already carries a ``bands`` column (minhash_signatures
+    with_bands=True — band hashes computed inside the signature kernel),
+    banding is a plain posexplode; otherwise the band hashes are derived
+    JVM-side from sig slices."""
     signatures = signatures.cache()
-    banded = signatures.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band_id",
-        F.xxhash64(
-            F.slice("sig", F.col("band_id") * rows_per_band + 1, rows_per_band),
+    if "bands" in signatures.columns:
+        banded = signatures.select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        )
+    else:
+        sig_len_col = F.size("sig")
+        rows_per_band = (sig_len_col / bands).cast("int")
+        banded = signatures.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_id"),
+            "sig",
+        ).select(
+            "doc_id",
             "band_id",
-        ).alias("band_hash"),
-    )
+            F.xxhash64(
+                F.slice("sig", F.col("band_id") * rows_per_band + 1, rows_per_band),
+                "band_id",
+            ).alias("band_hash"),
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -298,7 +409,9 @@ def minhash_lsh_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup pairs at scale: shingle → minhash → LSH →
     estimate filter ≥ threshold."""
-    sig = minhash_signatures(docs, k, num_hashes, id_col, text_col)
+    sig = minhash_signatures(
+        docs, k, num_hashes, id_col, text_col, with_bands=True, bands=bands
+    )
     return lsh_candidate_pairs(sig, bands).filter(F.col("est_jaccard") >= threshold)
 
 
