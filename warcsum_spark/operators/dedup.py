@@ -203,6 +203,12 @@ def _minhash_text_udf(num_hashes: int, k: int, bands: int):
     # type inference pick GROUPED_AGG (StructArray is returned fine)
     @F.arrow_udf(out_type)
     def sig_bands(texts: pa.Array) -> pa.Array:
+        # uint64 wraparound IS the hash arithmetic; numpy warns on scalar
+        # (not array) overflow, so silence it for the kernel body
+        with np.errstate(over="ignore"):
+            return _kernel(texts)
+
+    def _kernel(texts):
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         split = pc.utf8_split_whitespace(
