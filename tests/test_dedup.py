@@ -127,3 +127,30 @@ def test_simhash_near_pairs(spark):
     assert exact_pairs
     for p in exact_pairs:
         assert pairs.get(p) == 0, p
+
+
+def test_simhash_null_text_yields_null_not_crash(spark):
+    """Regression: one null-text doc (failed HTML extraction) must not
+    kill the whole simhash pass — it gets a null signature."""
+    from warcsum_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert rows[2] is None
+    assert rows[1] is not None and rows[1] == rows[3]
+
+
+def test_simhash_near_pairs_single_block_exact_dups(spark):
+    """Regression: n_blocks=1 (width-64 block = exact-duplicate pairing)
+    overflowed the mask literal; it must work and find exact pairs only."""
+    from warcsum_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text here")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_pairs(simhash(df), max_hamming=0, n_blocks=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}

@@ -299,3 +299,28 @@ def test_checkpoint_host_hash_bucketed_layout(spark, tmp_path):
         return sorted((r.asDict() for r in df.collect()), key=lambda d: d["url"])
 
     assert rows(a.pending) == rows(b.pending)
+
+
+def test_checkpoint_empty_bucketed_frontier_resumes(spark, tmp_path):
+    """Regression: a host-bucketed checkpoint of an EMPTY pending frontier
+    (the drained-crawl terminal state) wrote no schema-bearing parquet and
+    was committed-but-unloadable (UNABLE_TO_INFER_SCHEMA)."""
+    from warcsum_spark.frontier.checkpoint import load_checkpoint, save_checkpoint
+    from warcsum_spark.frontier.superstep import (
+        FRONTIER_SCHEMA,
+        SEEN_SCHEMA,
+        FrontierState,
+    )
+
+    state = FrontierState(
+        pending=spark.createDataFrame([], FRONTIER_SCHEMA),
+        seen=spark.createDataFrame([("http://a.test/",)], SEEN_SCHEMA),
+        round_no=5,
+    )
+    root = str(tmp_path / "ckpt")
+    save_checkpoint(root, state, host_hash_buckets=4)
+    resumed = load_checkpoint(spark, root)
+    assert resumed.round_no == 5
+    assert resumed.pending.count() == 0
+    assert resumed.pending.columns == [f.name for f in FRONTIER_SCHEMA.fields]
+    assert resumed.seen.count() == 1

@@ -115,3 +115,26 @@ def test_kernel_matches_reference_random_batch():
 def test_kernel_bands_divide_check():
     with pytest.raises(ValueError):
         _minhash_text_udf(10, 3, 4)
+
+
+@pytest.mark.parametrize(
+    "tail", [[""], [None], ["", ""], ["ab"], ["   "], []]
+)
+def test_signatures_are_batch_composition_independent(tail):
+    """Regression: an empty/whitespace/sub-k doc at the END of a batch must
+    not change the preceding docs' signatures (the old reduceat index
+    clamp truncated the previous token/row segment)."""
+    docs = ["alpha beta gamma delta", "the quick brown fox"]
+    udf = _minhash_text_udf(8, 3, 4)
+    alone = [udf.func(pa.array(docs, type=pa.string()))[i].as_py() for i in range(2)]
+    batched = udf.func(pa.array(docs + tail, type=pa.string()))
+    for i in range(2):
+        assert batched[i].as_py() == alone[i], (tail, i)
+    for j in range(len(tail)):
+        assert batched[2 + j].as_py() is None
+
+
+def test_kernel_all_rows_degenerate():
+    udf = _minhash_text_udf(8, 3, 4)
+    res = udf.func(pa.array(["", None, " ", "a b"], type=pa.string()))
+    assert all(res[i].as_py() is None for i in range(4))

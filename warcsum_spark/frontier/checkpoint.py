@@ -22,6 +22,7 @@ import json
 import os
 import re
 
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import spark_partition_id
@@ -137,11 +138,20 @@ def load_checkpoint(spark: SparkSession, root: str, k: int | None = None) -> Fro
         if k is None:
             raise FileNotFoundError(f"no committed checkpoint under {root}")
     d = _round_dir(root, k)
-    # no forced read-schema: a host-bucketed layout adds a host_bucket
-    # partition directory column, which a fixed schema would reject.
-    # Project + cast back to the frontier contract instead.
-    pending = spark.read.parquet(os.path.join(d, "pending")).select(
-        *[F.col(f.name).cast(f.dataType) for f in FRONTIER_SCHEMA.fields]
-    )
+    # no forced read-schema on the happy path: a host-bucketed layout adds
+    # a host_bucket partition directory column, which a fixed schema would
+    # reject. Project + cast back to the frontier contract instead.
+    pend_path = os.path.join(d, "pending")
+    try:
+        pending = spark.read.parquet(pend_path).select(
+            *[F.col(f.name).cast(f.dataType) for f in FRONTIER_SCHEMA.fields]
+        )
+    except AnalysisException:
+        # a bucketed write of an EMPTY pending frontier (the drained-crawl
+        # terminal state) emits no schema-bearing part files — inference
+        # fails with UNABLE_TO_INFER_SCHEMA. There are no partition dirs
+        # either, so the forced-schema read is legal and yields the empty
+        # frontier.
+        pending = spark.read.schema(FRONTIER_SCHEMA).parquet(pend_path)
     seen = spark.read.schema(SEEN_SCHEMA).parquet(os.path.join(d, "seen"))
     return FrontierState(pending=pending, seen=seen, round_no=k)

@@ -236,13 +236,20 @@ def _minhash_text_udf(num_hashes: int, k: int, bands: int):
             if tb:
                 dd = data[base : offs[-1]]
                 pos_in = np.arange(tb, dtype=np.int64) - np.repeat(starts, lens_t)
-                z = _splitmix(
+                z = np.empty(tb + 1, dtype=np.uint64)
+                z[:tb] = _splitmix(
                     dd.astype(np.uint64)
                     ^ (pos_in.astype(np.uint64) + np.uint64(1)) * gamma2
                 )
-                # empty tokens only occur on rows with < k tokens (split of
-                # "" → [""]) — clamp reduceat indices, value is irrelevant
-                tok_hash = np.add.reduceat(z, np.minimum(starts, tb - 1))
+                # sentinel pad, NOT an index clamp: an empty token at the
+                # end of the batch has start == tb, and clamping that index
+                # to tb-1 silently shortens the PREVIOUS token's reduceat
+                # segment (dropping its last byte — batch-composition-
+                # dependent signatures). With the pad every start ≤ tb is a
+                # valid index and all real segments stay intact; empty-token
+                # rows are overwritten below.
+                z[tb] = np.uint64(0)
+                tok_hash = np.add.reduceat(z, starts)[:n_tok] if n_tok else z[:0]
                 tok_hash[lens_t == 0] = np.uint64(0)
             else:
                 tok_hash = np.zeros(n_tok, np.uint64)
@@ -263,14 +270,16 @@ def _minhash_text_udf(num_hashes: int, k: int, bands: int):
         )
         crossing = pos_in_row > np.repeat(row_lens - k, row_lens)
         out = np.empty((n, num_hashes), dtype=np.uint64)
-        red_idx = np.minimum(row_off[:-1], max(n_tok - 1, 0))
+        # same sentinel-pad pattern as the token hashes: a zero-token row
+        # at the end of the batch has row_off == n_tok; clamping would
+        # shorten the previous row's min segment (drop its last shingle)
+        zz_buf = np.empty(n_tok + 1, dtype=np.uint64)
+        zz_buf[n_tok] = _U64MAX  # min identity
         for i in range(num_hashes):
             zz = _splitmix(shingle ^ (np.uint64(i) * gamma + gamma))
             zz[crossing] = _U64MAX
-            if n_tok:
-                out[:, i] = np.minimum.reduceat(zz, red_idx)
-            else:
-                out[:, i] = _U64MAX
+            zz_buf[:n_tok] = zz
+            out[:, i] = np.minimum.reduceat(zz_buf, row_off[:-1])[:n]
         bnd = np.empty((n, bands), dtype=np.uint64)
         for j in range(bands):
             h = np.full(n, _splitmix(np.uint64(j + 1) * gamma), dtype=np.uint64)
@@ -330,7 +339,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16
+    signatures: DataFrame, bands: int = 16, cache: bool = True
 ) -> DataFrame:
     """Band the signatures and join on (band_id, band_hash):
     (doc_a, doc_b, n_bands, est_jaccard) — est = fraction of matching
@@ -349,8 +358,16 @@ def lsh_candidate_pairs(
     If the input already carries a ``bands`` column (minhash_signatures
     with_bands=True — band hashes computed inside the signature kernel),
     banding is a plain posexplode; otherwise the band hashes are derived
-    JVM-side from sig slices."""
-    signatures = signatures.cache()
+    JVM-side from sig slices.
+
+    Cache lifetime: the cached signatures stay in executor storage after
+    the returned plan materializes (there is no post-action hook to
+    unpersist from here). One-shot pipelines don't care; iterative callers
+    (many dedup rounds in one session) should pass ``cache=False`` and
+    manage persistence themselves — cache/localCheckpoint the signatures
+    DataFrame, call this, then unpersist."""
+    if cache:
+        signatures = signatures.cache()
     if "bands" in signatures.columns:
         banded = signatures.select(
             "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
@@ -433,21 +450,37 @@ def _simhash_votes_udf(th: pd.Series) -> pd.Series:
     clear (ties → 0, matching the previous `votes > 0` rule; duplicate
     tokens vote once per occurrence — term-frequency weighting).
     Vectorized over the flattened batch: one (shift & mask → reduceat)
-    pass per bit, no per-row Python loop."""
+    pass per bit, no per-row Python loop. Null text propagates as a null
+    simhash (the pre-kernel all-Catalyst form did the same — a single
+    null-text doc must not kill the whole dedup pass)."""
     n = len(th)
     if n == 0:
         return pd.Series([], dtype="int64")
-    arrs = [np.asarray(a, dtype=np.int64) for a in th]
+    null_mask = np.fromiter((a is None for a in th), dtype=bool, count=n)
+    arrs = [
+        np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+        for a in th
+    ]
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
-    flat = np.concatenate(arrs).view(np.uint64)  # every row has ≥1 token
+    total = int(lens.sum())
+    flat = (
+        np.concatenate(arrs).view(np.uint64) if total else np.empty(0, np.uint64)
+    )
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     sig = np.zeros(n, dtype=np.uint64)
+    # sentinel pad so zero-length rows (null text) at any position keep
+    # every real reduceat segment intact (see _minhash_text_udf)
+    ones_buf = np.zeros(total + 1, dtype=np.int64)
     for i in range(64):
-        ones = ((flat >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
-        cnt = np.add.reduceat(ones, offsets)
+        ones_buf[:total] = ((flat >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+        cnt = np.add.reduceat(ones_buf, offsets)[:n]
         sig |= ((2 * cnt - lens) > 0).astype(np.uint64) << np.uint64(i)
-    return pd.Series(sig.view(np.int64))
+    out = pd.Series(sig.view(np.int64))
+    if null_mask.any():
+        out = out.astype(object)
+        out[null_mask] = None
+    return out
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -496,7 +529,9 @@ def simhash_near_pairs(
     start = 0
     for bid in range(n_blocks):
         width = base + (1 if bid < extra else 0)
-        mask = (1 << width) - 1
+        # width 64 (n_blocks=1, exact-duplicate pairing): 2^64-1 overflows
+        # a SQL long literal; -1 is the same all-ones bit pattern
+        mask = -1 if width == 64 else (1 << width) - 1
         specs.append(
             F.struct(
                 F.lit(bid).alias("block_id"),

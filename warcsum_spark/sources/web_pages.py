@@ -42,17 +42,23 @@ def read_path_index(
     Always projects to the (filename, url) shape ``resolve_mirror_urls``
     consumes."""
     if source.startswith("jdbc:"):
-        reader = spark.read.format("jdbc").option("url", source).option(
-            "dbtable", table
-        ).option("numPartitions", str(num_partitions))
-        for k, v in jdbc_opts.items():
-            reader = reader.option(k, v)
         if predicates:
-            # spark.read.jdbc(predicates=...) — DataFrameReader.jdbc only;
-            # rebuild through the function API for partition-per-predicate
-            props = dict(jdbc_opts)
-            df = spark.read.jdbc(source, table, predicates=predicates, properties=props)
+            # partition-per-predicate is only reachable through
+            # DataFrameReader.jdbc; numPartitions is defined by the
+            # predicate list itself, and reader-level options (fetchsize,
+            # sessionInitStatement, …) travel via `properties`
+            df = spark.read.jdbc(
+                source, table, predicates=predicates, properties=dict(jdbc_opts)
+            )
         else:
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", source)
+                .option("dbtable", table)
+                .option("numPartitions", str(num_partitions))
+            )
+            for k, v in jdbc_opts.items():
+                reader = reader.option(k, v)
             df = reader.load()
     elif source.startswith("table:"):
         df = spark.read.table(source[len("table:"):])
