@@ -1,0 +1,123 @@
+"""robots.txt parser: grammar cases + end-to-end into the gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from warcsum_spark.frontier.robots import (
+    budgets_from_crawl_delay,
+    parse_robots_body,
+    parse_robots_txt,
+    robots_allowed,
+)
+
+BASIC = """
+# comment line
+User-agent: *
+Disallow: /private/   # trailing comment
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: evilbot
+Disallow: /
+"""
+
+MULTI_UA = """
+User-agent: googlebot
+User-agent: *
+Disallow: /a
+User-agent: otherbot
+Disallow: /b
+"""
+
+NO_STAR = """
+User-agent: somebot
+Disallow: /x
+"""
+
+EDGE = """
+User-agent: *
+Disallow:
+Allow: /ok
+Crawl-delay: fast
+disallow: /CaseField
+"""
+
+
+def test_parse_basic():
+    rules, delay = parse_robots_body(BASIC)
+    assert rules == [(False, "/private/"), (True, "/private/ok")]
+    assert delay == 2.5
+
+
+def test_parse_multi_ua_group_and_group_reset():
+    rules, delay = parse_robots_body(MULTI_UA)
+    # '*' shares the first group; otherbot's group after directives is a
+    # NEW group that does not contain '*'
+    assert rules == [(False, "/a")]
+    assert delay is None
+
+
+def test_parse_no_star_group_allows_everything():
+    assert parse_robots_body(NO_STAR) == ([], None)
+
+
+def test_parse_edge_cases():
+    rules, delay = parse_robots_body(EDGE)
+    # empty Disallow is a no-op; bad Crawl-delay ignored; field names are
+    # case-insensitive
+    assert rules == [(True, "/ok"), (False, "/CaseField")]
+    assert delay is None
+    assert parse_robots_body(None) == ([], None)
+    assert parse_robots_body(b"User-agent: *\nDisallow: /b\xff") == (
+        [(False, "/b�")],
+        None,
+    )
+
+
+def test_parse_to_gate_end_to_end(spark):
+    fetched = spark.createDataFrame(
+        [("h1.test", BASIC), ("h2.test", NO_STAR)], "host string, body string"
+    )
+    robots = parse_robots_txt(fetched)
+    cand = spark.createDataFrame(
+        [
+            ("http://h1.test/private/x", "h1.test"),
+            ("http://h1.test/private/ok/page", "h1.test"),
+            ("http://h1.test/open", "h1.test"),
+            ("http://h2.test/x/anything", "h2.test"),
+            ("http://nofile.test/y", "nofile.test"),
+        ],
+        "url string, host string",
+    )
+    got = {
+        r["url"]
+        for r in robots_allowed(cand, robots.select("host", "rules")).collect()
+    }
+    assert got == {
+        "http://h1.test/private/ok/page",
+        "http://h1.test/open",
+        "http://h2.test/x/anything",
+        "http://nofile.test/y",
+    }
+
+    budgets = {
+        r["host"]: r["budget"]
+        for r in budgets_from_crawl_delay(robots, window_sec=60).collect()
+    }
+    assert budgets == {"h1.test": 24, "h2.test": 10}  # 60/2.5=24; default 10
+
+
+def test_parse_udf_matches_python(spark):
+    bodies = [BASIC, MULTI_UA, NO_STAR, EDGE, None, ""]
+    df = spark.createDataFrame(
+        [(f"h{i}.test", b) for i, b in enumerate(bodies)],
+        "host string, body string",
+    )
+    rows = {r["host"]: r for r in parse_robots_txt(df).collect()}
+    for i, b in enumerate(bodies):
+        expect_rules, expect_delay = parse_robots_body(b)
+        r = rows[f"h{i}.test"]
+        got_rules = [(x["allow"], x["prefix"]) for x in r["rules"]]
+        assert got_rules == expect_rules, i
+        assert r["crawl_delay"] == expect_delay, i
