@@ -94,7 +94,10 @@ def canonicalize_one(url) -> str | None:
         if not port.isdigit():
             return None
         # compare numerically: ':080' IS the default port (oracle twin
-        # uses urlsplit().port, an int)
+        # uses urlsplit().port, an int — which also REJECTS ports beyond
+        # the 16-bit range, hypothesis-found divergence)
+        if int(port) > 65535:
+            return None
         if int(port) != int(_DEFAULT_PORT[scheme]):
             host = f"{host}:{int(port)}"
     path = _pct_norm(_dot_segments(m["path"] or "/"))
