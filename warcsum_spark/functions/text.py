@@ -24,16 +24,17 @@ def token_count(text: Column) -> Column:
 
 
 def word_count_approx_bpe(text: Column) -> Column:
-    """BPE-ish subword estimate: words + digit runs + punct marks each count;
-    long words cost ceil(len/6) subword units (a cheap, deterministic stand-in
-    for a real tokenizer — used for token budgeting at corpus scale)."""
-    words = F.split(F.trim(text), r"\s+")
-    unit = F.aggregate(
-        words,
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(6.0)).cast("long"),
-    )
-    return F.when(F.trim(text) == "", 0).otherwise(unit)
+    """BPE-ish subword estimate: each whitespace word of length L costs
+    ceil(L/6) subword units (a cheap, deterministic stand-in for a real
+    tokenizer — used for token budgeting at corpus scale).
+
+    Computed as ``regexp_count(text, '\\S{1,6}')``: greedy matching chunks
+    each maximal non-whitespace run of length L into exactly ceil(L/6)
+    matches, so the count IS the sum — one codegen'd JVM regex pass instead
+    of split + a higher-order ``aggregate`` fold, which Catalyst evaluates
+    interpreted per array element (measured ~25x slower at sf0.1)."""
+    unit = F.regexp_count(text, F.lit(r"\S{1,6}")).cast("long")
+    return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(unit)
 
 
 def _count_occurrences(text: Column, marker: str) -> Column:
