@@ -455,9 +455,183 @@ SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank
 """
 
 
+_EMB_DIM = 64  # embeddings.parquet vector width (all sf dirs)
+
+
+def _sql_list(vals) -> str:
+    """DuckDB DOUBLE[] literal from floats — repr round-trips exactly."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _planes_values(n_bits: int, n_tables: int) -> str:
+    """VALUES rows (table_id, w, p) for every hyperplane of every table —
+    the same seeded Gaussians as similarity._planes, inlined once so the
+    sig expression is a constant-free GROUP BY over one cross join."""
+    from warcsum_spark.operators.similarity import _planes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _planes(_EMB_DIM, n_bits, t)
+        for bit, plane in enumerate(planes):
+            rows.append(f"({t}, {1 << bit}, {_sql_list(plane)})")
+    return ",\n  ".join(rows)
+
+
+def _oracle_ann_lsh(n_bits: int = 4, n_tables: int = 16, k: int = 10) -> str:
+    """Exact DuckDB replica of lsh_topk: same seeded hyperplanes (inlined
+    as constants), same sign rule (dot > 0), same bucket join + per-query
+    rank. The signature kernel's numpy matmul and DuckDB's sequential
+    list_dot_product differ only below ~1e-15 — no plane dot in the
+    synthetic data sits on that knife edge, so buckets are identical."""
+    return f"""
+WITH planes(table_id, w, p) AS (VALUES
+  {_planes_values(n_bits, n_tables)}
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+c_sig AS (
+  SELECT c.vec_id, pl.table_id,
+         sum(CASE WHEN list_dot_product(c.e, pl.p) > 0 THEN pl.w ELSE 0 END) AS sig
+  FROM c CROSS JOIN planes pl GROUP BY c.vec_id, pl.table_id
+),
+q_sig AS (
+  SELECT q.query_id, pl.table_id,
+         sum(CASE WHEN list_dot_product(q.e, pl.p) > 0 THEN pl.w ELSE 0 END) AS sig
+  FROM q CROSS JOIN planes pl GROUP BY q.query_id, pl.table_id
+),
+cand AS (
+  SELECT DISTINCT q_sig.query_id, c_sig.vec_id
+  FROM c_sig JOIN q_sig ON c_sig.table_id = q_sig.table_id AND c_sig.sig = q_sig.sig
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_cosine_similarity(q.e, c.e), 6) AS score
+  FROM cand JOIN q USING (query_id) JOIN c USING (vec_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _oracle_embedding_near_dup(
+    n_bits: int = 8, n_tables: int = 6, threshold: float = 0.95
+) -> str:
+    """DuckDB replica of embedding_near_dup_pairs over the query's injected
+    corpus (base ∪ exact copies ∪ first-coordinate perturbations)."""
+    return f"""
+WITH planes(table_id, w, p) AS (VALUES
+  {_planes_values(n_bits, n_tables)}
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL SELECT vec_id + 1000000, e FROM base WHERE vec_id < 20
+  UNION ALL SELECT vec_id + 2000000, list_concat([e[1] + 0.2], e[2:]) FROM base WHERE vec_id < 20
+),
+sig AS (
+  SELECT corpus.vec_id, pl.table_id,
+         sum(CASE WHEN list_dot_product(corpus.e, pl.p) > 0 THEN pl.w ELSE 0 END) AS sig
+  FROM corpus CROSS JOIN planes pl GROUP BY corpus.vec_id, pl.table_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT doc_a, doc_b, round(list_cosine_similarity(ca.e, cb.e), 6) AS cosine
+  FROM cand JOIN corpus ca ON ca.vec_id = doc_a JOIN corpus cb ON cb.vec_id = doc_b
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def _oracle_ann_ivf(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    train_size: int = 4096,
+    k: int = 10,
+) -> str | None:
+    """DuckDB replica of ivf_topk. The coarse quantizer is a MODEL, not a
+    query: regenerate it outside Spark with the shared pure-numpy trainer
+    (_kmeans_spherical) on the same deterministic training sample the
+    engine uses (lowest-vec_id rows of the corpus — orderBy+limit, not a
+    scan-order-dependent bare limit), then inline the centroids as
+    constants. Assignment (argmax, ties → lowest centroid) and the probe
+    top-n replicate the kernel's stable argsort."""
+    import duckdb
+    import numpy as np
+
+    from warcsum_spark.operators.similarity import _kmeans_spherical
+
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(pq):
+        return None
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{pq}') WHERE vec_id >= 5 "
+        f"ORDER BY vec_id LIMIT {train_size}"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    C = _kmeans_spherical(X, n_centroids)
+    cent_rows = ",\n  ".join(
+        f"({i}, {_sql_list(C[i])})" for i in range(len(C))
+    )
+    norm_dot = (
+        "list_dot_product(list_transform({e}, x -> x / "
+        "greatest(sqrt(list_dot_product({e}, {e})), 1e-12)), cent.c)"
+    )
+    return f"""
+WITH cent(centroid_id, c) AS (VALUES
+  {cent_rows}
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+c_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {norm_dot.format(e="c.e")} DESC, cent.centroid_id ASC
+           ) AS r
+    FROM c CROSS JOIN cent
+  ) WHERE r = 1
+),
+q_probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {norm_dot.format(e="q.e")} DESC, cent.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN cent
+  ) WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT q_probe.query_id, c_assign.vec_id
+  FROM c_assign JOIN q_probe USING (centroid_id)
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_cosine_similarity(q.e, c.e), 6) AS score
+  FROM cand JOIN q USING (query_id) JOIN c USING (vec_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (k-means quantizer not SQL-expressible); recall vs brute
-    force asserted in tests/test_text_similarity.py."""
+    """IVF ANN top-k; DuckDB oracle regenerates the quantizer from the
+    same deterministic training sample and inlines it as constants."""
     from warcsum_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -469,8 +643,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (hyperplane LSH not SQL-expressible); recall vs brute force
-    asserted in tests/test_text_similarity.py."""
+    """LSH-bucketed ANN top-k; the DuckDB oracle inlines the same seeded
+    hyperplanes, so buckets — not just ranks — are cross-checked. Recall
+    vs brute force additionally asserted in tests/test_text_similarity.py."""
     from warcsum_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -497,10 +672,11 @@ def _event_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: embedding-cosine near-dup via hyperplane LSH buckets
-    (recall vs brute force asserted in tests). Near-dup pairs are injected
-    deterministically (exact copies + one-coordinate perturbations of
-    vec_id<20) since the base embeddings are random."""
+    """Embedding-cosine near-dup via hyperplane LSH buckets, DuckDB-checked
+    with the planes inlined as constants (recall vs brute force also
+    asserted in tests). Near-dup pairs are injected deterministically
+    (exact copies + one-coordinate perturbations of vec_id<20) since the
+    base embeddings are random."""
     from warcsum_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -699,7 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "doc_digest_manifest": (
             "SELECT doc_id, source AS warcfile, n_chars AS length, md5(text) AS digest FROM documents"
         ),
@@ -715,10 +891,18 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "text_stats": _oracle_text_stats(),
         "ann_bruteforce": ORACLE_ANN_BRUTE,
+        "ann_lsh": _oracle_ann_lsh(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
         "frontier_schedule": ORACLE_FRONTIER_SCHEDULE,
         "url_seen_gate": ORACLE_URL_SEEN,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
-        # rows-only (non-SQL-expressible): minhash_lsh_docs, simhash_docs,
-        # ann_lsh, multimodal_features — covered by pytest oracles instead.
+        # rows-only (non-SQL-expressible): minhash_lsh_docs and simhash_docs
+        # (splitmix64 wrapping-uint64 arithmetic has no safe HUGEINT SQL
+        # form) and multimodal_features (sha256-seeded RandomState features)
+        # — covered by pytest property/recall oracles instead.
     }
+    ivf = _oracle_ann_ivf()
+    if ivf is not None:
+        out["ann_ivf"] = ivf
+    return out

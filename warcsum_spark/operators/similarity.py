@@ -225,14 +225,29 @@ def train_ivf_centroids(
     iters: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained on a bounded sample
     (standard IVF practice — training reads ≤ ``train_size`` rows, never
-    the full corpus). Deterministic: seeded init, Lloyd iterations on
-    L2-normalized vectors, empty clusters reseeded to the worst-assigned
-    point. Returns [n_centroids, dim] unit-norm float64."""
-    rows = corpus.select(vec_col).limit(train_size).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    the full corpus). The sample is the ``train_size`` LOWEST ids —
+    ``orderBy(id).limit(n)`` compiles to TakeOrdered (per-partition
+    partial top-k, no full sort shuffle), and unlike a bare ``limit`` the
+    resulting training set does not depend on partition scan order, so
+    the quantizer is reproducible outside Spark (the DuckDB oracle
+    regenerates identical centroids from the same parquet).
+    Deterministic: seeded init, Lloyd iterations on L2-normalized
+    vectors, empty clusters reseeded to the worst-assigned point.
+    Returns [n_centroids, dim] unit-norm float64."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(train_size).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    return _kmeans_spherical(X, n_centroids, iters, seed)
+
+
+def _kmeans_spherical(
+    X: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Pure-numpy spherical Lloyd on the given [n, dim] training matrix —
+    shared by the Spark trainer and the oracle-side replication."""
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
@@ -290,7 +305,7 @@ def ivf_topk(
     assignment is a single pass, the centroid table is broadcast-sized by
     construction, and query cost is |Q|·(N·n_probe/n_centroids)."""
     C = train_ivf_centroids(
-        corpus, n_centroids, train_size, seed=seed, vec_col=vec_col
+        corpus, n_centroids, train_size, seed=seed, vec_col=vec_col, id_col=id_col
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
     q = queries.select(
