@@ -362,7 +362,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_count_approx_bpe,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    from warcsum_spark.session import ensure_min_parallelism
+
+    # unsplittable single-row-group source scans as 1 task; the regex/
+    # replace arithmetic here is compute-bound, so buy parallelism first
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return with_lang_id(docs, "text", "lang_guess").select(
         "doc_id",

@@ -315,7 +315,9 @@ def minhash_signatures(
     bands: int = 16,
 ) -> DataFrame:
     """(doc_id, sig array<long>[, bands array<long>]) — m minhash values
-    per doc, ZERO shuffles and (by design) almost zero Catalyst surface:
+    per doc, no hash shuffles (only the min-parallelism round-robin guard
+    when the source is a single unsplittable file) and (by design) almost
+    zero Catalyst surface:
     parquet scan → ONE arrow_udf (tokenize/shingle/minhash/bands all in
     numpy — see _minhash_text_udf) → null filter. Embarrassingly parallel
     at 100 TB. History of rejected formulations: explode → distinct →
@@ -328,7 +330,10 @@ def minhash_signatures(
     ``with_bands=True`` also returns the per-band LSH bucket hashes,
     computed in the same kernel pass — band hashing is then free and the
     banding stage downstream is a plain posexplode."""
+    from warcsum_spark.session import ensure_min_parallelism
+
     udf = _minhash_text_udf(num_hashes, k, bands if with_bands else 1)
+    docs = ensure_min_parallelism(docs)  # unsplittable small source → 1 task
     staged = docs.select(
         F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("_mb")
     ).filter(F.col("_mb").isNotNull())  # docs with < k tokens: no signature
@@ -491,8 +496,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     all-Catalyst form (64 F.aggregate HOF expressions) evaluated
     interpreted per (bit, token) — ~15 s at sf0.1 vs ~1 s here, identical
     output."""
+    from warcsum_spark.session import ensure_min_parallelism
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    docs = ensure_min_parallelism(docs)  # unsplittable small source → 1 task
     staged = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_th"))
     return staged.select("doc_id", _simhash_votes_udf(F.col("_th")).alias("simhash"))
 

@@ -93,3 +93,21 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ensure_min_parallelism(df, target: int | None = None):
+    """Round-robin repartition ``df`` up to ``target`` partitions (default
+    ``sparkContext.defaultParallelism``) — but ONLY if it currently has
+    fewer. Compute-bound Arrow-kernel stages (minhash/simhash signatures,
+    per-row scoring) want parallelism ≥ cores; a parquet source that is a
+    single file with a single row group is unsplittable and scans as ONE
+    task, serializing the whole kernel. At production scale the input has
+    ≥ parallelism splits and this is a no-op — the shuffle only exists in
+    exactly the small-input regime where it is cheap (the whole source
+    fits in a few tasks) and the kernel time it unlocks dominates it."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
