@@ -745,6 +745,86 @@ SELECT DISTINCT url FROM urls WHERE event_type = 'click'
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py): each document's text is
+    wrapped in a deterministic HTML envelope exercising every rule
+    (script/style elements, comments, attributes, all decoded entities),
+    then extracted back. Pure JVM regexp chain, SQL-replicated."""
+    from warcsum_spark.functions.html import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    envelope = F.concat(
+        F.lit(
+            '<html><head><title>T &amp;lt; x</title>'
+            "<style type='text/css'>p { color: red; }</style>"
+            '<script src="a.js">var x = "<p>"; if (x &lt; 2) {}</script>'
+            "</head><body><!-- boilerplate --><h1 class='t'>Doc&nbsp;"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><br/>&quot;end&#39;</body></html>"),
+    )
+    extracted = html_to_text(envelope)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).alias("n_extracted"),
+    )
+
+
+def _oracle_html_extract() -> str:
+    from warcsum_spark.functions.html import html_to_text_sql
+
+    envelope = (
+        "('<html><head><title>T &amp;lt; x</title>"
+        "<style type=''text/css''>p { color: red; }</style>"
+        '<script src="a.js">var x = "<p>"; if (x &lt; 2) {}</script>'
+        "</head><body><!-- boilerplate --><h1 class=''t''>Doc&nbsp;' || "
+        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><br/>&quot;end&#39;</body></html>')"
+    )
+    ext = html_to_text_sql(envelope)
+    return f"""
+SELECT doc_id, {ext} AS extracted, length({ext}) AS n_extracted FROM documents
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/html.py::redact_pii): doc text plus a
+    deterministic contact-info suffix (email, phone, SSN, IPv4 derived
+    from doc_id) so every rule fires on every row."""
+    from warcsum_spark.functions.html import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    red = redact_pii(payload)
+    return docs.select("doc_id", red.alias("redacted"), F.length(red).alias("n_redacted"))
+
+
+def _oracle_pii_redact() -> str:
+    from warcsum_spark.functions.html import redact_pii_sql
+
+    payload = (
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1 (555) 010-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' ssn 123-45-6789 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR))"
+    )
+    red = redact_pii_sql(payload)
+    return f"""
+SELECT doc_id, {red} AS redacted, length({red}) AS n_redacted FROM documents
+"""
+
+
 def q_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5-style corpus stats."""
     docs = _t(spark, sf_dir, "documents")
@@ -875,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
+        "html_extract": q_html_extract,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -901,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
         "url_seen_gate": ORACLE_URL_SEEN,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
+        "html_extract": _oracle_html_extract(),
+        "pii_redact": _oracle_pii_redact(),
         # rows-only (non-SQL-expressible): minhash_lsh_docs and simhash_docs
         # (splitmix64 wrapping-uint64 arithmetic has no safe HUGEINT SQL
         # form) and multimodal_features (sha256-seeded RandomState features)
