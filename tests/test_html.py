@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 
 from warcsum_spark.functions.html import (
     _DROP_PATTERNS,
-    _ENTITIES,
     _PII_RULES,
+    _SQL_ENTITIES,
     _TAG_PATTERN,
     html_to_text,
     redact_pii,
@@ -23,7 +23,7 @@ def ref_html_to_text(s: str) -> str:
     for pat in _DROP_PATTERNS:
         s = re.sub(pat, " ", s)
     s = re.sub(_TAG_PATTERN, " ", s)
-    for ent, rep in _ENTITIES:
+    for ent, rep in _SQL_ENTITIES:
         s = s.replace(ent, rep)
     return re.sub(r"\s+", " ", s).strip()
 

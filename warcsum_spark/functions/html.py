@@ -1,26 +1,92 @@
-"""HTML → text extraction for the web-pages table (input_hint columns
-``html: binary`` / ``text: string``).
+"""HTML → text extraction and related webtext kernels, in TWO tiers:
 
-A deterministic, documented APPROXIMATION of boilerplate-free extraction
-(real pipelines use a DOM parser; this is the regex tier that runs as pure
-JVM expressions at 100 TB with zero Python):
+**Byte tier (Arrow UDF)** — the input_hint per-row invariant: the engine's
+``text`` must be byte-identical per url to the oracle's
+``warcsum_spark.oracle.extract_text``. Spec: remove <script>/<style>
+subtrees and comments, strip all tags, decode the six basic entities,
+collapse whitespace, trim, decode UTF-8 with replacement. Runs as an
+Arrow-batched pandas UDF (the subtree rule needs a regex backreference,
+which Java regex/RE2 chains can't express); regexes are precompiled once
+per worker. Written independently of the oracle implementation — the
+tests cross-check the two.
 
-1. drop ``<script>``/``<style>`` elements and HTML comments,
-2. replace every remaining tag with a space (block separation),
-3. decode the five basic named entities plus ``&#39;``/``&nbsp;``
-   (``&amp;`` LAST so ``&amp;lt;`` decodes to the literal ``&lt;``),
-4. collapse whitespace runs and trim.
+**JVM tier (``html_to_text``)** — the same extraction idea as a pure
+Catalyst ``regexp_replace``/``replace`` chain (zero Python at 100 TB),
+restricted to patterns that behave identically under Java regex (Spark)
+and RE2 (DuckDB) — no backreferences, no lookaround — so the whole
+operator is reproducible in ANSI SQL for the driver's correctness gate
+(``html_to_text_sql``). Differences from the byte tier, by construction:
+script/style close-tag matching is per-name (no backreference), entity
+decode order puts ``&amp;`` LAST (so ``&amp;lt;`` decodes to the literal
+``&lt;``), and it operates on string columns (pass
+``F.decode(col, 'UTF-8')`` for binary html).
 
-Every step is a ``regexp_replace``/``replace`` with patterns chosen to
-behave identically under Java regex (Spark) and RE2 (DuckDB) — no
-backreferences, no lookaround — so the whole operator is reproducible in
-ANSI SQL for the driver's correctness gate (see ``html_to_text_sql``).
+Plus ``redact_pii`` — typed placeholder redaction with the same
+dual-engine (Java/RE2) reproducibility property.
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# byte tier — input_hint invariant (Arrow UDF, oracle-twinned)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STYLE = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT = re.compile(rb"(?s)<!--.*?-->")
+_TAG = re.compile(rb"(?s)<[^>]*>")
+_WS = re.compile(rb"\s+")
+_ENTITIES = (
+    (b"&amp;", b"&"),
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+    (b"&nbsp;", b" "),
+)
+
+
+def extract_text_bytes(html: bytes) -> str:
+    s = _SCRIPT_STYLE.sub(b" ", html)
+    s = _COMMENT.sub(b" ", s)
+    s = _TAG.sub(b" ", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS.sub(b" ", s).strip().decode("utf-8", "replace")
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: None if b is None else extract_text_bytes(bytes(b)))
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
+    return df.withColumn(out_col, extract_text(F.col(html_col)))
+
+
+_HREF = re.compile(rb"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"'<>\s]+)""")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """href values of <a> tags, document order, raw (un-canonicalized —
+    the frontier canonicalizes + dedupes downstream)."""
+    return html.map(
+        lambda b: None
+        if b is None
+        else [m.decode("utf-8", "replace") for m in _HREF.findall(bytes(b))]
+    )
+
+
+# ---------------------------------------------------------------------------
+# JVM tier — SQL-reproducible extraction (see module docstring)
+# ---------------------------------------------------------------------------
 
 # (?is) = case-insensitive + dotall; non-greedy body; supported by both
 # Java regex and RE2
@@ -31,8 +97,9 @@ _DROP_PATTERNS = [
 ]
 _TAG_PATTERN = r"<[^>]*>"
 
-# decode order matters: &amp; must come last (see module docstring)
-_ENTITIES = [
+# decode order matters in this tier: &amp; must come last (see module
+# docstring)
+_SQL_ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
@@ -50,7 +117,7 @@ def html_to_text(html: Column) -> Column:
     for pat in _DROP_PATTERNS:
         out = F.regexp_replace(out, pat, " ")
     out = F.regexp_replace(out, _TAG_PATTERN, " ")
-    for ent, rep in _ENTITIES:
+    for ent, rep in _SQL_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
@@ -63,7 +130,7 @@ def html_to_text_sql(expr: str) -> str:
     for pat in _DROP_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
     out = f"regexp_replace({out}, '{_TAG_PATTERN}', ' ', 'g')"
-    for ent, rep in _ENTITIES:
+    for ent, rep in _SQL_ENTITIES:
         ent_sql = ent.replace("'", "''")
         rep_sql = rep.replace("'", "''")
         out = f"replace({out}, '{ent_sql}', '{rep_sql}')"
