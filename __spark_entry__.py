@@ -851,32 +851,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow mapInPandas feature extraction over binary media columns
     (deterministic stub decode; see operators/multimodal.py).
 
-    The driver's rows-only canonicalizer sorts column values with pandas,
-    which cannot factorize ``array<float>`` — so this query projects only
-    scalar columns (dim, L2 norm, a stable hash of the rounded feature
-    vector); the array-valued API itself is pytest-covered."""
+    Fully DuckDB-checked: the stub's feature bytes are a sha256 hex
+    chain the oracle recomputes with its built-in sha256(), and the
+    query projects EXACT integers recovered from the float features
+    (byte_i = round(f_i·127.5 + 127.5) — float32 error ≤ 1e-5, so the
+    round is lossless). Scalars only: the driver's canonicalizer can't
+    factorize array<float>; the array-valued API is pytest-covered."""
     from warcsum_spark.operators.multimodal import extract_features
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text-as-blob").alias("kind"),
         F.encode("text", "UTF-8").alias("blob"),
     )
     feats = extract_features(media, dim=16)
-    norm_sq = F.aggregate(
-        "feature", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    byte_vals = F.transform(
+        "feature",
+        lambda x, i: (i + F.lit(1)).cast("long")
+        * F.round(x.cast("double") * 127.5 + 127.5, 0).cast("long"),
     )
-    feat_str = F.concat_ws(
-        ",", F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string"))
+    plain_bytes = F.transform(
+        "feature", lambda x: F.round(x.cast("double") * 127.5 + 127.5, 0).cast("long")
+    )
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
     )
     return feats.select(
         "media_id",
         "kind",
         "feat_dim",
-        F.round(F.sqrt(norm_sq), 6).alias("feat_norm"),
-        F.xxhash64(feat_str).alias("feat_hash"),
+        lsum(plain_bytes).alias("feat_sum"),
+        lsum(byte_vals).alias("feat_wsum"),
     )
+
+
+ORACLE_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'text-as-blob' AS kind, sha256(text) AS hx
+  FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT media_id, kind,
+         list_transform(range(16), i ->
+           (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16
+           + strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS bytes
+  FROM m
+)
+SELECT media_id, kind, 16 AS feat_dim,
+       CAST(list_sum(bytes) AS BIGINT) AS feat_sum,
+       CAST(list_sum(list_transform(range(16), i -> (i+1)*bytes[i+1])) AS BIGINT) AS feat_wsum
+FROM b
+"""
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,10 +1011,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
         "pii_redact": _oracle_pii_redact(),
+        "multimodal_features": ORACLE_MULTIMODAL,
         # rows-only (non-SQL-expressible): minhash_lsh_docs and simhash_docs
         # (splitmix64 wrapping-uint64 arithmetic has no safe HUGEINT SQL
-        # form) and multimodal_features (sha256-seeded RandomState features)
-        # — covered by pytest property/recall oracles instead.
+        # form) — covered by pytest property oracles instead.
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

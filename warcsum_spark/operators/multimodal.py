@@ -34,12 +34,22 @@ _REAL_CODECS = False  # no image/audio libs in this container
 
 
 def _fake_decode(blob: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a decoder+embedder: sha256-seeded
-    pseudo-features. Stable across runs/partitions — safe for tests."""
-    h = hashlib.sha256(blob).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.randn(dim).astype(np.float32)
+    """Deterministic stand-in for a decoder+embedder. Feature bytes come
+    from a sha256 hex chain — block 0 = sha256(blob), block n =
+    sha256(hex(block n-1)) — so an external SQL engine can recompute them
+    (DuckDB: ``sha256(text)`` on the same payload; the driver's
+    multimodal_features oracle does exactly that). feature[i] =
+    (byte_i − 127.5) / 127.5 as float32, i.e. [-1, 1). Stable across
+    runs/partitions — safe for tests and cross-engine checks."""
+    h = hashlib.sha256(blob).hexdigest()
+    chain = h
+    while len(chain) // 2 < dim:
+        h = hashlib.sha256(h.encode("ascii")).hexdigest()
+        chain += h
+    b = np.frombuffer(bytes.fromhex(chain[: 2 * dim]), dtype=np.uint8)
+    return ((b.astype(np.float32) - np.float32(127.5)) / np.float32(127.5)).astype(
+        np.float32
+    )
 
 
 def attach_media_meta(media: DataFrame) -> DataFrame:
