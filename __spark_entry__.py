@@ -825,6 +825,63 @@ SELECT doc_id, {red} AS redacted, length({red}) AS n_redacted FROM documents
 """
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/html.py::extract_links — the frontier's
+    html→candidate-URL input stage): deterministic <a href> envelopes built
+    from doc_id, extracted by the Arrow UDF, exploded to (doc_id, link_no,
+    href). The DuckDB oracle re-extracts with the same regex (group 1 via
+    regexp_extract_all) — Python re and RE2 agree on this pattern class
+    (no backreferences; \\b and lazy quantifiers are common subset)."""
+    from warcsum_spark.functions.html import extract_links
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a class="x" href="http://h'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('.test/p/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">one</a> <A HREF=\'https://other.example/q?id='),
+        F.col("doc_id").cast("string"),
+        F.lit("'>two</A><a name='anchor-only'>no href</a>"),
+        F.lit('<a data-x="1" href="/relative/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">three</a></body></html>'),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(extract_links(F.encode(html, "UTF-8"))).alias(
+            "link_no", "href"
+        ),
+    )
+    return exploded
+
+
+ORACLE_LINK_EXTRACT = r"""
+WITH h AS (
+  SELECT doc_id,
+         ('<html><body><p>intro</p><a class="x" href="http://h'
+          || CAST(doc_id % 20 AS VARCHAR) || '.test/p/'
+          || CAST(doc_id AS VARCHAR)
+          || '">one</a> <A HREF=''https://other.example/q?id='
+          || CAST(doc_id AS VARCHAR)
+          || '''>two</A><a name=''anchor-only''>no href</a><a data-x="1" href="/relative/'
+          || CAST(doc_id % 7 AS VARCHAR) || '">three</a></body></html>') AS html
+  FROM documents WHERE doc_id < 500
+),
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(html,
+           '(?is)<a\b[^>]*?\bhref\s*=\s*["'']([^"''<>\s]+)', 1) AS links
+  FROM h
+)
+SELECT doc_id, CAST(u['i'] AS INT) AS link_no, u['href'] AS href FROM (
+  SELECT doc_id,
+         unnest(list_transform(links, (x, i) -> {'i': i - 1, 'href': x})) AS u
+  FROM l
+)
+"""
+
+
 def q_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5-style corpus stats."""
     docs = _t(spark, sf_dir, "documents")
@@ -983,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "html_extract": q_html_extract,
         "pii_redact": q_pii_redact,
+        "link_extract": q_link_extract,
     }
 
 
@@ -1012,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _oracle_html_extract(),
         "pii_redact": _oracle_pii_redact(),
         "multimodal_features": ORACLE_MULTIMODAL,
+        "link_extract": ORACLE_LINK_EXTRACT,
         # rows-only (non-SQL-expressible): minhash_lsh_docs and simhash_docs
         # (splitmix64 wrapping-uint64 arithmetic has no safe HUGEINT SQL
         # form) — covered by pytest property oracles instead.
