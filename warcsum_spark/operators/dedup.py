@@ -166,10 +166,13 @@ _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _splitmix(z: np.ndarray) -> np.ndarray:
-    m1, m2 = np.uint64(_SM_M1), np.uint64(_SM_M2)
-    z = (z ^ (z >> np.uint64(30))) * m1
-    z = (z ^ (z >> np.uint64(27))) * m2
-    return z ^ (z >> np.uint64(31))
+    # uint64 wraparound IS the hash arithmetic; numpy warns on SCALAR
+    # (0-d) overflow even though the wrap is intended, so silence locally
+    with np.errstate(over="ignore"):
+        m1, m2 = np.uint64(_SM_M1), np.uint64(_SM_M2)
+        z = (z ^ (z >> np.uint64(30))) * m1
+        z = (z ^ (z >> np.uint64(27))) * m2
+        return z ^ (z >> np.uint64(31))
 
 
 def _minhash_text_udf(num_hashes: int, k: int, bands: int):
