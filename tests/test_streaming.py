@@ -79,3 +79,71 @@ def test_stream_first_seen_across_batches(spark, tmp_path):
     got = [r["url"] for r in spark.sql("SELECT url FROM first_seen_t").collect()]
     assert sorted(got) == sorted(set(batch1) | set(batch2))  # no repeats
     assert len(got) == len(set(got))
+
+
+def test_windowed_counts_watermark_drops_late_and_withholds_open(spark, tmp_path):
+    """Event-time windowed aggregation with a watermark (the brief's
+    'watermarks + windowed aggs for late data'):
+
+    * a row arriving LATER than the watermark is dropped by the stream
+      (present in the batch plan over the same input — asserted both ways),
+    * windows not yet passed by the watermark are withheld in append mode,
+    * finalized-window counts equal the batch plan's counts.
+    """
+    import json
+
+    from warcsum_spark.streaming.windowed_stats import windowed_counts
+
+    indir = tmp_path / "ev_in"
+    indir.mkdir()
+
+    def write(name, rows):
+        with open(indir / name, "w") as f:
+            for ts, host in rows:
+                f.write(json.dumps({"ts": f"2025-01-01T{ts}.000Z", "host": host}) + "\n")
+
+    batch1 = [("10:00:30", "h1"), ("10:01:10", "h1"), ("10:05:00", "h2")]
+    # after batch1 the watermark is max(ts) - 2min = 10:03:00
+    batch2 = [
+        ("10:01:30", "h1"),  # late beyond watermark (its window ended 10:02) → dropped
+        ("10:06:00", "h2"),  # advances watermark to 10:04
+    ]
+
+    stream = spark.readStream.schema("ts timestamp, host string").json(
+        str(indir / "*.json")
+    )
+    out = windowed_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    write("b1.json", batch1)
+    q.processAllAvailable()
+    write("b2.json", batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (str(r["window_start"])[11:16], r["host"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts_t").collect()
+    }
+    # only the two watermark-finalized windows emitted; the late row did
+    # NOT bump [10:01, 10:02); h2's windows (ends 10:06/10:07 > wm 10:04)
+    # are withheld
+    assert got == {("10:00", "h1"): 1, ("10:01", "h1"): 1}
+
+    # same plan over the same rows in BATCH: every window reported and the
+    # late row counted — pinning that the difference is watermark policy
+    all_rows = spark.read.schema("ts timestamp, host string").json(str(indir / "*.json"))
+    batch = {
+        (str(r["window_start"])[11:16], r["host"]): r["n"]
+        for r in windowed_counts(all_rows, window="1 minute", watermark="2 minutes").collect()
+    }
+    assert batch[("10:01", "h1")] == 2
+    assert ("10:05", "h2") in batch and ("10:06", "h2") in batch
+    for k, v in got.items():
+        if k != ("10:01", "h1"):
+            assert batch[k] == v
