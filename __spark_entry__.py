@@ -329,6 +329,68 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: near-dup pairs (n-gram Jaccard ≥ 0.5 over
+    the injected-near-dup corpus) → connected components (iterative
+    min-label propagation, operators/clusters.py) → canonical-doc
+    selection. The oracle recomputes components with a recursive CTE
+    (min reachable id per node)."""
+    from warcsum_spark.operators.clusters import (
+        canonical_per_cluster,
+        connected_components,
+    )
+    from warcsum_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs_with_neardups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    comp = connected_components(pairs)
+    return canonical_per_cluster(docs, comp)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' perturbed tail token' AS text
+  FROM documents WHERE doc_id < 20
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+FROM base d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (LSH banding is not ANSI-SQL-expressible); recall vs
     exact Jaccard is asserted in tests/test_dedup.py."""
@@ -1026,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
         "text_stats": q_text_stats,
@@ -1059,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": ORACLE_ROLLUP,
         "exact_dedup_docs": ORACLE_EXACT_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "text_stats": _oracle_text_stats(),
         "ann_bruteforce": ORACLE_ANN_BRUTE,
         "ann_lsh": _oracle_ann_lsh(),

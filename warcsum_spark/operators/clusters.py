@@ -1,0 +1,103 @@
+"""Near-duplicate CLUSTERS from pair lists: connected components +
+canonical-document selection — the decision stage of a dedup pipeline
+(pairs from MinHash-LSH / SimHash / n-gram Jaccard say "these two are
+dups"; this stage says "keep THIS one, drop those").
+
+Connected components run as iterative min-label propagation on the
+DataFrame API (Spark has no built-in CC; GraphFrames is an external
+package). Each round every node takes the minimum label among itself and
+its neighbors; rounds repeat until no label changes. Converges in
+O(diameter) rounds — near-dup clusters are small and dense (diameter
+rarely > 3), so 3–5 rounds in practice; ``max_iter`` bounds pathological
+chains. Each round is ONE join + ONE groupBy on (node) and the frame is
+``localCheckpoint``ed to truncate lineage (same idiom as the frontier
+superstep — an O(rounds) plan would otherwise re-execute every prior
+join per action). At 10^10 edges the same plan holds: both shuffles key
+on node id, and the label frame carries exactly 2 longs per node.
+Doubling/"alternating star" variants (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) cut rounds to
+O(log diameter) at the cost of edge rewrites; min-label is the right
+trade while diameters stay small.
+
+The driver oracle computes the same components with a recursive CTE
+(min reachable id per node) — see __spark_entry__.ORACLE_DEDUP_CLUSTERS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable through the
+    undirected pair graph. Nodes are every id appearing in ``pairs``;
+    callers union isolated ids afterwards if they need singletons."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        prev = labels
+        labels = new_labels.drop("_changed")
+        prev.unpersist()
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) over ALL docs: docs absent from
+    ``components`` are their own singleton cluster. ``keep='min_id'``
+    keeps the lowest id per cluster (deterministic; warcsum's first-copy
+    rule — warcsumproc:30–40 keeps the first record of each digest
+    cluster, which under sorted ids IS the minimum)."""
+    if keep != "min_id":
+        raise ValueError(f"unknown keep policy: {keep}")
+    joined = docs.select(F.col(id_col).alias("doc_id")).join(
+        components.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("is_canonical"),
+    )
