@@ -391,6 +391,62 @@ FROM base d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (functions/sampling.py):
+    split = md5-bucket of (seed, doc_id) — reproducible across engines,
+    re-runs, and cluster sizes; the oracle recomputes membership."""
+    from warcsum_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def _oracle_hash_split() -> str:
+    from warcsum_spark.functions.sampling import bucket_sql, split_bounds
+
+    b = bucket_sql("doc_id")
+    branches = ""
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    for name, _lo, hi in bounds[:-1]:
+        branches += f"WHEN {b} < {hi} THEN '{name}' "
+    return f"""
+SELECT doc_id, CASE {branches}ELSE '{bounds[-1][0]}' END AS split FROM documents
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 3-gram shingles by document frequency
+    (distinct per doc), ties broken lexicographically. orderBy+limit
+    compiles to TakeOrdered — per-partition partial top-k, no full sort
+    shuffle at corpus scale."""
+    from warcsum_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, k=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_count"))
+        .orderBy(F.col("df_count").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), c AS (
+  SELECT shingle, count(*) AS df_count FROM sh GROUP BY shingle
+)
+SELECT shingle, df_count FROM c ORDER BY df_count DESC, shingle ASC LIMIT 20
+"""
+
+
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (LSH banding is not ANSI-SQL-expressible); recall vs
     exact Jaccard is asserted in tests/test_dedup.py."""
@@ -1089,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "hash_split": q_hash_split,
+        "top_ngrams": q_top_ngrams,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
         "text_stats": q_text_stats,
@@ -1123,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": ORACLE_EXACT_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "hash_split": _oracle_hash_split(),
+        "top_ngrams": ORACLE_TOP_NGRAMS,
         "text_stats": _oracle_text_stats(),
         "ann_bruteforce": ORACLE_ANN_BRUTE,
         "ann_lsh": _oracle_ann_lsh(),

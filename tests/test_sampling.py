@@ -1,0 +1,63 @@
+"""functions/sampling.py — deterministic hash splits and subsets."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from warcsum_spark.functions.sampling import (
+    hash_split,
+    sample_fraction,
+    split_bounds,
+)
+
+
+def ref_bucket(i: int, seed: int = 42) -> int:
+    return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+
+def test_split_bounds_partition_the_buckets():
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds == [("train", 0, 204), ("val", 204, 230), ("test", 230, 256)]
+    # contiguous, exhaustive
+    assert bounds[0][1] == 0 and bounds[-1][2] == 256
+    for (_, _, hi), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert hi == lo
+
+
+def test_hash_split_matches_reference_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+
+    def expect(i):
+        b = ref_bucket(i)
+        for name, lo, hi in bounds:
+            if lo <= b < hi:
+                return name
+        raise AssertionError(b)
+
+    assert got == {i: expect(i) for i in range(1000)}
+    # repartitioning must not change any assignment
+    got2 = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(13)).collect()}
+    assert got2 == got
+    # shares roughly match weights at n=1000
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 0.74 * 1000 < n_train < 0.86 * 1000
+
+
+def test_sample_fraction_deterministic_subset(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    kept = {r["doc_id"] for r in sample_fraction(df, 0.25).collect()}
+    assert kept == {i for i in range(1000) if ref_bucket(i) < 64}
+    # monotone: a larger fraction strictly contains a smaller one
+    kept_half = {r["doc_id"] for r in sample_fraction(df, 0.5).collect()}
+    assert kept <= kept_half
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, seed=1).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, seed=2).collect()}
+    assert a != b

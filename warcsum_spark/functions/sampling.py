@@ -1,0 +1,83 @@
+"""Deterministic corpus sampling/splitting.
+
+``hash_split`` is the reproducible-split idiom for training data at
+100 TB: the split of a document is a pure function of (seed, id) — no
+RNG state, no ordering dependence, stable across engines, re-runs, and
+cluster sizes, and any engine that has md5 can recompute membership
+(the driver's DuckDB oracle does). Buckets are the first byte of
+``md5(seed ':' id)`` (256 of them); weights map to contiguous bucket
+ranges by cumulative share, floor-rounded, with the last split taking
+the remainder — so weights (0.8, 0.1, 0.1) give buckets [0,204),
+[204,230), [230,256).
+
+``sample_fraction`` is the same trick as a filter: keep iff
+bucket/256 < fraction. Use it for bounded deterministic subsets
+(debug corpora, eval slices) instead of ``df.sample`` whose output
+depends on partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_N_BUCKETS = 256
+
+
+def _bucket(id_col: Column, seed: int) -> Column:
+    key = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) bucket ranges — floor-rounded cumulative shares,
+    last split absorbs the remainder. Shared by engine and oracle."""
+    total = sum(weights.values())
+    names = list(weights)
+    bounds = []
+    cum = 0.0
+    lo = 0
+    for i, name in enumerate(names):
+        cum += weights[name] / total
+        hi = _N_BUCKETS if i == len(names) - 1 else int(cum * _N_BUCKETS)
+        bounds.append((name, lo, hi))
+        lo = hi
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """+ ``split`` column: deterministic md5-bucket assignment (module
+    docstring). Pure JVM expressions — md5 + hex→int conv + CASE."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = _bucket(F.col(id_col), seed)
+    expr = None
+    for name, _lo, hi in split_bounds(weights)[:-1]:
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = split_bounds(weights)[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic ``fraction``-subset: keep iff bucket < frac·256
+    (granularity 1/256 — document the quantization, don't hide it)."""
+    return df.filter(_bucket(F.col(id_col), seed) < int(fraction * _N_BUCKETS))
+
+
+def bucket_sql(id_expr: str, seed: int = 42) -> str:
+    """DuckDB expression for the same bucket (md5 hex pair → int via
+    strpos arithmetic — DuckDB has no hex→int conv)."""
+    h = f"md5('{seed}:' || CAST({id_expr} AS VARCHAR))"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    )
