@@ -1203,3 +1203,19 @@ def oracle_sql() -> dict[str, str]:
     if ivf is not None:
         out["ann_ivf"] = ivf
     return out
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """``oracle_sql()`` with data-dependent oracles regenerated for
+    ``sf_dir``. The driver always checks at sf0.01 (what ``oracle_sql()``
+    bakes in); local tools running at another scale factor must use this,
+    because the IVF oracle inlines a quantizer TRAINED on the target
+    data — sf0.01 centroids against sf0.1 tables is a guaranteed
+    spurious mismatch."""
+    out = dict(oracle_sql())
+    ivf = _oracle_ann_ivf(sf_dir)
+    if ivf is not None:
+        out["ann_ivf"] = ivf
+    else:
+        out.pop("ann_ivf", None)
+    return out

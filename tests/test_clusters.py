@@ -53,6 +53,16 @@ def test_canonical_per_cluster_includes_singletons(spark):
     }
 
 
+def test_nonconvergence_raises_instead_of_partial_labels(spark):
+    # diameter 6 chain with max_iter=2: a silent return would split the
+    # chain into several "clusters", each with its own canonical doc
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
 def test_canonical_unknown_policy_raises(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     comp = connected_components(

@@ -88,6 +88,22 @@ def test_redact_pii_matches_reference(spark):
         assert r["t"] == ref_redact(s), f"case {r['i']}: {s!r}"
 
 
+def test_redact_pii_full_span_and_typed_placeholders(spark):
+    """Review regressions: (a) a formatted US number must be consumed
+    WHOLE — a 13-char interior cap used to stop early and leak the last
+    digit group ('<PHONE>-1234'); (b) dotted IPv4 must surface as <IP>,
+    not be swallowed by the earlier phone rule."""
+    cases = {
+        "call +1 (555) 010-1234 now": "call <PHONE> now",
+        "ip 192.168.0.1 up": "ip <IP> up",
+        "ip 10.0.0.123 up": "ip <IP> up",
+        "+44 20 7946 0958 rings": "<PHONE> rings",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "s string")
+    got = {r["s"]: r["t"] for r in df.select("s", redact_pii(F.col("s")).alias("t")).collect()}
+    assert got == cases
+
+
 def test_redact_pii_actually_redacts(spark):
     df = spark.createDataFrame(
         [("reach a@b.io or +1 (555) 010-9999, ssn 123-45-6789, ip 10.0.0.7",)],

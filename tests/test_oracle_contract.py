@@ -47,14 +47,9 @@ def duck(sf_dir):
 def test_query_matches_duckdb(spark, sf_dir, duck, name):
     df = entry_mod.queries()[name](spark, sf_dir)
     spark_rows = [list(r) for r in df.collect()]
-    if name == "ann_ivf":
-        # the IVF oracle carries the trained quantizer as constants; the
-        # model is a function of the training data, so regenerate it for
-        # THIS sf (the shipped oracle_sql() bakes the driver's sf0.01)
-        sql = entry_mod._oracle_ann_ivf(sf_dir)
-    else:
-        sql = entry_mod.oracle_sql()[name]
-    rel = duck.sql(sql)
+    # oracle_sql_for regenerates data-dependent oracles (IVF quantizer)
+    # for THIS sf; the shipped oracle_sql() bakes the driver's sf0.01
+    rel = duck.sql(entry_mod.oracle_sql_for(sf_dir)[name])
     duck_rows = [list(r) for r in rel.fetchall()]
     assert sorted(c.lower() for c in df.columns) == sorted(
         c.lower() for c in rel.columns

@@ -51,7 +51,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs = entry_mod.queries()
-    sqls = entry_mod.oracle_sql()
+    # sf-aware: the IVF oracle bakes a quantizer trained on the target data
+    sqls = entry_mod.oracle_sql_for(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -141,17 +141,22 @@ def html_to_text_sql(expr: str) -> str:
 # PII redaction
 # ---------------------------------------------------------------------------
 
-# conservative patterns, identical under Java regex and RE2
+# conservative patterns, identical under Java regex and RE2. Rule ORDER is
+# semantic: emails first (their digits must not half-match the phone
+# rule), SSN and IPv4 before phone (both are digit sequences the phone
+# class would otherwise swallow — the phone class contains '-' and '.').
 _PII_RULES = [
     # emails
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # US-style SSN
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    # international-ish phone: +optional country code, 9..14 digits with
-    # common separators, digit-bounded
-    (r"\+?\d[\d\-(). ]{7,13}\d\b", "<PHONE>"),
-    # IPv4
+    # IPv4 (before phone: a dotted quad is also a separator-digit run)
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # international-ish phone: optional +country, digits with common
+    # separators; interior width 7..16 covers '+1 (555) 010-1234' (14
+    # interior chars — a 13 cap made the match stop early and leak the
+    # last digit group), digit-bounded both ends
+    (r"\+?\d[\d\-(). ]{7,16}\d\b", "<PHONE>"),
 ]
 
 

@@ -37,7 +37,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) — component = min node id reachable through the
     undirected pair graph. Nodes are every id appearing in ``pairs``;
-    callers union isolated ids afterwards if they need singletons."""
+    callers union isolated ids afterwards if they need singletons.
+
+    Raises ``RuntimeError`` if labels have not converged after
+    ``max_iter`` rounds (a component of diameter > max_iter) — a
+    partially-propagated result would silently split one true cluster
+    into several, each with its own "canonical" doc. Label propagation
+    needs one round per hop, so raise ``max_iter`` for pathological
+    chain graphs (or switch to a star-contraction variant)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -69,12 +76,17 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        prev = labels
+        # NOTE: localCheckpoint blocks are NOT freed by Dataset.unpersist
+        # (that only clears CacheManager entries); they are reclaimed by
+        # the ContextCleaner once the previous frame's RDD is
+        # garbage-collected — dropping the reference is the release.
         labels = new_labels.drop("_changed")
-        prev.unpersist()
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph has a component with diameter > max_iter); raise max_iter"
+    )
 
 
 def canonical_per_cluster(
