@@ -448,8 +448,12 @@ SELECT shingle, df_count FROM c ORDER BY df_count DESC, shingle ASC LIMIT 20
 
 
 def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH banding is not ANSI-SQL-expressible); recall vs
-    exact Jaccard is asserted in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs. The DuckDB oracle reads per-document
+    signatures/band-hashes materialized by the INDEPENDENT per-row
+    reference (oracle_refs.ref_minhash_doc — the property-tested twin of
+    the fused Arrow kernel) and recomputes banding join, matching-band
+    count, and the signature-agreement estimate in plain SQL. Recall vs
+    exact Jaccard additionally asserted in tests/test_dedup.py."""
     from warcsum_spark.operators.dedup import minhash_lsh_duplicates
 
     return minhash_lsh_duplicates(
@@ -457,15 +461,73 @@ def q_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_minhash_lsh(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_hashes: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replica of minhash_lsh_duplicates: the per-doc signatures
+    come from the independent row-at-a-time reference (materialized to
+    parquet, IVF-regeneration precedent); band join + est_jaccard are
+    recomputed in SQL, so kernel, banding, AND estimate are all checked."""
+    from warcsum_spark.oracle_refs import materialize_minhash_oracle
+
+    sig_path, band_path = materialize_minhash_oracle(
+        sf_dir, num_hashes=num_hashes, k=k, bands=bands
+    )
+    return f"""
+WITH cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM read_parquet('{band_path}') a
+  JOIN read_parquet('{band_path}') b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.doc_a, cand.doc_b, cand.n_bands,
+       round(sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
+             / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+FROM cand
+JOIN read_parquet('{sig_path}') sa ON sa.doc_id = cand.doc_a
+JOIN read_parquet('{sig_path}') sb ON sb.doc_id = cand.doc_b AND sb.pos = sa.pos
+GROUP BY cand.doc_a, cand.doc_b, cand.n_bands
+HAVING round(sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
+             / CAST({num_hashes} AS DOUBLE), 6) >= {threshold}
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check; Hamming-0 property and pigeonhole completeness at
-    d=10 asserted in tests/test_dedup.py. d=3 (4 × 16-bit blocks) is the
-    scale-sane parameterization: narrower blocks (larger d) fatten the
-    candidate join toward quadratic — at d=10 this query took 31 s at
-    sf0.1 vs ~1 s at d=3, for near-identical output on random text."""
+    """SimHash near-dup pairs (pigeonhole candidate join). The DuckDB
+    oracle reads per-document simhashes from the independent pure-Python
+    reference (own XXH64, plain-int bit voting — oracle_refs.py) and
+    brute-forces ALL pairs with bit_count(xor(...)) ≤ d, so the oracle
+    also certifies the pigeonhole candidate set is complete. d=3
+    (4 × 16-bit blocks) is the scale-sane parameterization: narrower
+    blocks (larger d) fatten the candidate join toward quadratic — at
+    d=10 this query took 31 s at sf0.1 vs ~1 s at d=3."""
     from warcsum_spark.operators.dedup import simhash, simhash_near_pairs
 
     return simhash_near_pairs(simhash(_docs_with_neardups(spark, sf_dir)), max_hamming=3)
+
+
+def _oracle_simhash(
+    sf_dir: str = "/root/testdata/sf0.01", max_hamming: int = 3
+) -> str:
+    """DuckDB replica of simhash_near_pairs over the independent
+    reference's per-doc simhashes; brute-force pair scan (fine at oracle
+    scale) doubles as a completeness check on the engine's pigeonhole
+    block join."""
+    from warcsum_spark.oracle_refs import materialize_simhash_oracle
+
+    path = materialize_simhash_oracle(sf_dir)
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1195,9 +1257,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _oracle_pii_redact(),
         "multimodal_features": ORACLE_MULTIMODAL,
         "link_extract": ORACLE_LINK_EXTRACT,
-        # rows-only (non-SQL-expressible): minhash_lsh_docs and simhash_docs
-        # (splitmix64 wrapping-uint64 arithmetic has no safe HUGEINT SQL
-        # form) — covered by pytest property oracles instead.
+        # minhash/simhash: the wrapping-uint64 kernels have no HUGEINT SQL
+        # form, so the independent per-row Python references are
+        # materialized to parquet and only the pair logic runs in SQL.
+        "minhash_lsh_docs": _oracle_minhash_lsh(),
+        "simhash_docs": _oracle_simhash(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
@@ -1218,4 +1282,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         out["ann_ivf"] = ivf
     else:
         out.pop("ann_ivf", None)
+    out["minhash_lsh_docs"] = _oracle_minhash_lsh(sf_dir)
+    out["simhash_docs"] = _oracle_simhash(sf_dir)
     return out

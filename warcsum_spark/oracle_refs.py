@@ -1,0 +1,268 @@
+"""Independent per-row reference implementations used to materialize
+driver-gate oracles for the two operators whose kernels are not
+ANSI-SQL-expressible (MinHash+LSH banding and SimHash bit-voting).
+
+These are deliberately NOT the engine kernels: the engine computes both
+over flattened Arrow buffers with reduceat segments inside vectorized
+UDFs (operators/dedup.py); here every document is processed one at a
+time with plain numpy / plain-int arithmetic, mirroring the adversarial
+per-row reference in tests/test_minhash_kernel.py. Agreement between the
+two code paths is what the oracle certifies.
+
+The Spark SimHash pipeline hashes tokens JVM-side with ``F.xxhash64``
+(seed 42), so this module carries a from-scratch pure-Python XXH64
+(public algorithm, Yann Collet; also implemented independently in Spark's
+catalyst XXH64.java) cross-checked against ``F.xxhash64`` in
+tests/test_oracle_refs.py.
+
+Materializers write per-document reference outputs to parquet under
+``.oracle_cache/`` so the DuckDB oracle can be a plain ``read_parquet``
+query — the IVF-quantizer oracle regeneration precedent
+(__spark_entry__._oracle_ann_ivf) extended to file-backed outputs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from warcsum_spark.operators.dedup import _SM_GAMMA, _SM_GAMMA2, _splitmix
+
+_G = np.uint64(_SM_GAMMA)
+_G2 = np.uint64(_SM_GAMMA2)
+
+# ---------------------------------------------------------------------------
+# MinHash per-document reference (numpy per row, no cross-row buffers)
+# ---------------------------------------------------------------------------
+
+
+def ref_minhash_doc(
+    text: str | None, num_hashes: int = 64, k: int = 3, bands: int = 16
+):
+    """(sig int64[num_hashes], band_hashes int64[bands]) for one document,
+    or None for null docs / docs with fewer than k tokens.
+
+    Same splitmix64 hash chain as the fused kernel
+    (operators/dedup.py::_minhash_text_udf) but computed row-at-a-time:
+    position-weighted byte hash per token, k-token shingle chain, per-i
+    minima, per-band fold — no flattened-batch offsets/reduceat anywhere,
+    so segment/masking bugs in the kernel cannot be mirrored here."""
+    if text is None:
+        return None
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return None
+    with np.errstate(over="ignore"):
+        th = np.empty(len(toks), np.uint64)
+        for i, t in enumerate(toks):
+            bs = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            idx = (np.arange(len(bs), dtype=np.uint64) + np.uint64(1)) * _G2
+            acc = _splitmix(bs ^ idx).sum(dtype=np.uint64)
+            th[i] = _splitmix(acc ^ np.uint64(len(bs)) * _G2)
+        sh = _splitmix(th[: len(toks) - k + 1].copy())
+        for j in range(1, k):
+            sh = _splitmix(sh ^ th[j : j + len(sh)])
+        i_arr = np.arange(num_hashes, dtype=np.uint64)
+        sig = _splitmix(sh[None, :] ^ (i_arr[:, None] * _G + _G)).min(axis=1)
+        rpb = num_hashes // bands
+        bnd = np.empty(bands, np.uint64)
+        for j in range(bands):
+            h = _splitmix(np.uint64(j + 1) * _G)
+            for r in range(rpb):
+                h = _splitmix(h ^ sig[j * rpb + r])
+            bnd[j] = h
+    return sig.view(np.int64), bnd.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64 (seed 42 = Spark's F.xxhash64 default)
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 over ``data`` as an unsigned 64-bit int. Default seed 42
+    matches Spark's ``xxhash64`` SQL function; cross-checked against
+    ``F.xxhash64`` in tests/test_oracle_refs.py."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            k1 = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl((v1 + k1 * _P2) & _M64, 31) * _P1) & _M64
+            k2 = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl((v2 + k2 * _P2) & _M64, 31) * _P1) & _M64
+            k3 = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl((v3 + k3 * _P2) & _M64, 31) * _P1) & _M64
+            k4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl((v4 + k4 * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# SimHash per-document reference (plain-int bit voting)
+# ---------------------------------------------------------------------------
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS) — what F.split(..., r"\s+")
+# matches on the JVM. Python's str.split() would differ (unicode ws).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def ref_simhash_tokens(text: str) -> list[str]:
+    """Twin of the engine's JVM tokenization
+    ``F.split(F.lower(F.trim(col)), r"\\s+")``: Spark ``trim`` strips only
+    ASCII spaces; Java ``split`` with Spark's limit=-1 keeps leading AND
+    trailing empty strings (Python ``re.split`` has the same contract)."""
+    return _JAVA_WS.split(text.strip(" ").lower())
+
+
+def ref_simhash_doc(text: str | None) -> int | None:
+    """64-bit SimHash as a signed int64, or None for null text. Bit i is
+    set iff strictly more token hashes have bit i set than clear (ties →
+    0; duplicate tokens vote per occurrence), matching
+    operators/dedup.py::_simhash_votes_udf — but with per-token
+    pure-Python xxh64 and int loops instead of JVM hashing + reduceat."""
+    if text is None:
+        return None
+    hashes = [xxh64(t.encode("utf-8")) for t in ref_simhash_tokens(text)]
+    n = len(hashes)
+    sig = 0
+    for i in range(64):
+        cnt = sum((h >> i) & 1 for h in hashes)
+        if 2 * cnt - n > 0:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+# ---------------------------------------------------------------------------
+# materializers: reference outputs → parquet for read_parquet oracles
+# ---------------------------------------------------------------------------
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".oracle_cache")
+
+
+def _neardup_corpus(sf_dir: str) -> list[tuple[int, str | None]]:
+    """Python twin of __spark_entry__._docs_with_neardups: documents ∪
+    perturbed copies of doc_id<20."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    rows = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    rows += [
+        (doc_id + 1000000, None if text is None else text + " perturbed tail token")
+        for doc_id, text in rows
+        if doc_id < 20
+    ]
+    return rows
+
+def _cache_key(sf_dir: str, tag: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return f"{tag}_{sf_name}_{st.st_size}_{int(st.st_mtime)}"
+
+
+def materialize_minhash_oracle(
+    sf_dir: str, num_hashes: int = 64, k: int = 3, bands: int = 16
+) -> tuple[str, str]:
+    """Run ref_minhash_doc over the near-dup corpus of ``sf_dir`` and write
+    two exploded parquet files: (doc_id, pos, sig_val) and
+    (doc_id, band_id, band_hash). Returns their paths. Cached on the
+    source parquet's (size, mtime) — deterministic regeneration."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = _cache_key(sf_dir, f"minhash_{num_hashes}_{k}_{bands}")
+    sig_path = os.path.join(CACHE_DIR, key + "_sig.parquet")
+    band_path = os.path.join(CACHE_DIR, key + "_bands.parquet")
+    if os.path.exists(sig_path) and os.path.exists(band_path):
+        return sig_path, band_path
+    ids, sig_rows, band_rows = [], [], []
+    for doc_id, text in _neardup_corpus(sf_dir):
+        res = ref_minhash_doc(text, num_hashes=num_hashes, k=k, bands=bands)
+        if res is None:
+            continue
+        ids.append(doc_id)
+        sig_rows.append(res[0])
+        band_rows.append(res[1])
+    n = len(ids)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    sig_tbl = pa.table(
+        {
+            "doc_id": np.repeat(id_arr, num_hashes),
+            "pos": np.tile(np.arange(num_hashes, dtype=np.int32), n),
+            "sig_val": np.concatenate(sig_rows) if n else np.empty(0, np.int64),
+        }
+    )
+    band_tbl = pa.table(
+        {
+            "doc_id": np.repeat(id_arr, bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band_hash": np.concatenate(band_rows) if n else np.empty(0, np.int64),
+        }
+    )
+    pq.write_table(sig_tbl, sig_path + ".tmp")
+    os.replace(sig_path + ".tmp", sig_path)
+    pq.write_table(band_tbl, band_path + ".tmp")
+    os.replace(band_path + ".tmp", band_path)
+    return sig_path, band_path
+
+
+def materialize_simhash_oracle(sf_dir: str) -> str:
+    """Run ref_simhash_doc over the near-dup corpus of ``sf_dir``; write
+    (doc_id, simhash) parquet (simhash NULL for null text) and return the
+    path."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, _cache_key(sf_dir, "simhash") + ".parquet")
+    if os.path.exists(path):
+        return path
+    rows = _neardup_corpus(sf_dir)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "simhash": pa.array([ref_simhash_doc(r[1]) for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
