@@ -826,6 +826,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=10, n_centroids=16, n_probe=6)
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector width of the sf_dir's embeddings table, read driver-side
+    from the parquet footer's first batch — no Spark job (the previous
+    ``.first()`` probe cost one extra job per invocation)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column("embedding")[0])
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k; the DuckDB oracle inlines the same seeded
     hyperplanes, so buckets — not just ranks — are cross-checked. Recall
@@ -833,7 +844,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _embedding_dim(sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -154,3 +154,44 @@ def test_simhash_near_pairs_single_block_exact_dups(spark):
     )
     pairs = simhash_near_pairs(simhash(df), max_hamming=0, n_blocks=1).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_candidate_pairs_rejects_band_mismatch(spark):
+    """A precomputed bands column stamped with a different band count than
+    the `bands` argument must raise, not silently use the kernel's
+    banding."""
+    import pytest
+
+    from warcsum_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four six")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, with_bands=True, bands=16)
+    with pytest.raises(ValueError, match="16 bands but bands=8"):
+        lsh_candidate_pairs(sig, bands=8)
+    # matching request is fine, as is a metadata-free frame (trusted)
+    assert lsh_candidate_pairs(sig, bands=16).count() >= 1
+
+
+def test_ngram_jaccard_cache_escape_hatch(spark):
+    """cache=False must produce a plan without an InMemoryRelation (and
+    identical results)."""
+    from warcsum_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    # uncached FIRST: once cache=True registers the shingle plan, the
+    # cache manager substitutes InMemoryRelation into any equal plan
+    uncached = ngram_jaccard_pairs(docs, threshold=0.5, cache=False)
+    assert "InMemoryRelation" not in uncached._jdf.queryExecution().toString()
+    cached = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert sorted(map(tuple, uncached.collect())) == sorted(
+        map(tuple, cached.collect())
+    )

@@ -324,3 +324,17 @@ def test_checkpoint_empty_bucketed_frontier_resumes(spark, tmp_path):
     assert resumed.pending.count() == 0
     assert resumed.pending.columns == [f.name for f in FRONTIER_SCHEMA.fields]
     assert resumed.seen.count() == 1
+
+
+def test_url_host_canonical_null_on_schemeless_garbage(spark):
+    """Input without '://' must yield NULL, not a substring-from-3 slice
+    (the docstring's garbage→null contract, previously only true for
+    canonicalize_url output)."""
+    from warcsum_spark.functions.urls import url_host_canonical
+
+    df = spark.createDataFrame(
+        [("foobar",), ("host.test/path",), ("",), (None,), ("http://ok.test/x",)],
+        "u string",
+    )
+    got = [r["h"] for r in df.select(url_host_canonical(F.col("u")).alias("h")).collect()]
+    assert got == [None, None, None, None, "ok.test"]

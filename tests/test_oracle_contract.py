@@ -58,12 +58,12 @@ def test_query_matches_duckdb(spark, sf_dir, duck, name):
     assert _canon(spark_rows, df.columns) == _canon(duck_rows, list(rel.columns))
 
 
-def test_rows_only_queries_nonempty(spark, sf_dir):
-    qs = entry_mod.queries()
-    rows_only = set(qs) - set(entry_mod.oracle_sql())
-    assert rows_only  # the non-SQL-expressible operators exist
-    for name in sorted(rows_only):
-        assert qs[name](spark, sf_dir).count() > 0, name
+def test_every_query_has_an_oracle():
+    """Since round 3, NO queries() entry is rows-only: minhash/simhash
+    gained materialized-reference oracles (oracle_refs.py), so the driver
+    gate can be 29/29 hash-green. A new rows-only query would silently
+    weaken the gate — make that a conscious decision, not a drift."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
 
 
 def test_entry_smoke(spark):

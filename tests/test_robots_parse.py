@@ -121,3 +121,24 @@ def test_parse_udf_matches_python(spark):
         got_rules = [(x["allow"], x["prefix"]) for x in r["rules"]]
         assert got_rules == expect_rules, i
         assert r["crawl_delay"] == expect_delay, i
+
+def test_crawl_delay_longer_than_window_gets_zero_budget(spark):
+    """A host declaring Crawl-delay > window must be SKIPPED this window
+    (budget 0) — the old >=1 floor granted up to delay/window times the
+    declared rate."""
+    robots = spark.createDataFrame(
+        [
+            ("slow.test", 3600.0),   # 1 fetch/hour: no fetch in a 60s window
+            ("exact.test", 60.0),    # delay == window: exactly 1
+            ("fast.test", 2.5),      # 24 per window
+            ("none.test", None),     # default budget
+        ],
+        "host string, crawl_delay double",
+    )
+    budgets = {
+        r["host"]: r["budget"]
+        for r in budgets_from_crawl_delay(robots, window_sec=60).collect()
+    }
+    assert budgets == {
+        "slow.test": 0, "exact.test": 1, "fast.test": 24, "none.test": 10
+    }

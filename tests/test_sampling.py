@@ -61,3 +61,17 @@ def test_hash_split_seed_changes_assignment(spark):
     a = {r["doc_id"]: r["split"] for r in hash_split(df, seed=1).collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(df, seed=2).collect()}
     assert a != b
+
+
+def test_split_bounds_rejects_sub_bucket_weight():
+    """A weight below the 1/256 share quantum would silently get zero
+    rows; it must raise instead."""
+    import pytest
+
+    # non-last tiny split floors to zero buckets (the last one absorbs
+    # the remainder, so it always gets >=1)
+    with pytest.raises(ValueError, match="empty bucket range"):
+        split_bounds({"tiny": 0.001, "train": 0.999})
+    # boundary: exactly one bucket is fine
+    bounds = split_bounds({"a": 255, "b": 1})
+    assert bounds == [("a", 0, 255), ("b", 255, 256)]

@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 def _emit_text(df_text: DataFrame, output: str, mode: str = "overwrite") -> None:
     if output == "-":
-        for r in sorted(df_text.collect()):
+        # stream partitions through the driver instead of collect(): same
+        # byte output (UTF8String binary order == code-point order), no
+        # driver OOM cliff on a corpus-sized `-o -`
+        for r in df_text.sort("line").toLocalIterator():
             print(r["line"])
     else:
         df_text.write.mode(mode).text(output)

@@ -22,7 +22,10 @@ import json
 import os
 import re
 
-from pyspark.errors.exceptions.captured import AnalysisException
+# the base class from the public package — both classic and connect
+# exception variants subclass it (the captured-module import would miss
+# the connect one and break the empty-pending resume fallback)
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import spark_partition_id

@@ -115,14 +115,18 @@ def budgets_from_crawl_delay(
     robots: DataFrame, window_sec: float = 60.0, default_budget: int = 10
 ) -> DataFrame:
     """Politeness budgets (host, budget) from Crawl-delay: at most
-    window/delay fetches per scheduling window (≥1), default where no
-    delay is declared. Broadcast-sized — one row per host with robots."""
+    floor(window/delay) fetches per scheduling window, default where no
+    delay is declared. A host declaring Crawl-delay LONGER than the window
+    gets budget 0 — it must be skipped this window (granting the old ≥1
+    floor would fetch up to delay/window times the declared rate); the
+    scheduler picks it up in a later window. For delay ≤ window the floor
+    is ≥1 arithmetically. Broadcast-sized — one row per host."""
     return robots.select(
         "host",
         F.when(
             F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
-            F.greatest(
-                F.floor(F.lit(window_sec) / F.col("crawl_delay")), F.lit(1)
+            F.when(F.col("crawl_delay") > window_sec, F.lit(0)).otherwise(
+                F.floor(F.lit(window_sec) / F.col("crawl_delay"))
             ),
         )
         .otherwise(F.lit(default_budget))

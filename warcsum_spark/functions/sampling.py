@@ -31,7 +31,11 @@ def _bucket(id_col: Column, seed: int) -> Column:
 
 def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
     """(name, lo, hi) bucket ranges — floor-rounded cumulative shares,
-    last split absorbs the remainder. Shared by engine and oracle."""
+    last split absorbs the remainder. Shared by engine and oracle.
+
+    Shares are quantized to 1/256: a weight whose floor-rounded share
+    collapses to zero buckets (below ~1/256, or unlucky rounding) would
+    silently receive zero rows, so empty ranges raise instead."""
     total = sum(weights.values())
     names = list(weights)
     bounds = []
@@ -40,6 +44,12 @@ def split_bounds(weights: dict[str, float]) -> list[tuple[str, int, int]]:
     for i, name in enumerate(names):
         cum += weights[name] / total
         hi = _N_BUCKETS if i == len(names) - 1 else int(cum * _N_BUCKETS)
+        if hi <= lo:
+            raise ValueError(
+                f"split {name!r} maps to an empty bucket range [{lo},{hi}): "
+                f"weights are quantized to 1/{_N_BUCKETS} shares — raise its "
+                f"weight or merge it into a neighbor"
+            )
         bounds.append((name, lo, hi))
         lo = hi
     return bounds
@@ -53,7 +63,9 @@ def hash_split(
     out_col: str = "split",
 ) -> DataFrame:
     """+ ``split`` column: deterministic md5-bucket assignment (module
-    docstring). Pure JVM expressions — md5 + hex→int conv + CASE."""
+    docstring). Pure JVM expressions — md5 + hex→int conv + CASE.
+    Weights are quantized to 1/256 shares; a weight too small for one
+    bucket raises in ``split_bounds`` rather than yielding zero rows."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     b = _bucket(F.col(id_col), seed)
     expr = None

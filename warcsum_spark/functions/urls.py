@@ -238,15 +238,15 @@ def url_host_canonical(canon_url: Column) -> Column:
     regexp_extract sits in a CASE branch only IPv6-literal rows enter
     (CASE evaluates branches lazily per row)."""
     # substring after the FIRST '://' (substring_index(-1) would take the
-    # last — wrong when the path itself contains '://')
-    rest = F.substring(
-        canon_url, F.locate("://", canon_url) + F.lit(3), F.length(canon_url)
-    )
+    # last — wrong when the path itself contains '://'); locate==0 means
+    # no scheme separator at all → null, not a substring from position 3
+    sep = F.locate("://", canon_url)
+    rest = F.substring(canon_url, sep + F.lit(3), F.length(canon_url))
     auth = F.substring_index(rest, "/", 1)
     host = F.when(
         auth.startswith("["), F.regexp_extract(auth, r"^\[([^\]]+)\]", 1)
     ).otherwise(F.substring_index(auth, ":", 1))
-    return F.when(host == "", None).otherwise(host)
+    return F.when((sep == 0) | (host == ""), None).otherwise(host)
 
 
 def url_hash(canon_url: Column) -> Column:
