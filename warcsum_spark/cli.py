@@ -97,7 +97,7 @@ def _cmd_split(args: argparse.Namespace) -> int:
 
 
 def _cmd_crawl(args: argparse.Namespace) -> int:
-    from warcsum_spark.frontier.checkpoint import save_checkpoint
+    from warcsum_spark.frontier.statestore import ParquetDirectoryStore
     from warcsum_spark.frontier.superstep import (
         frontier_round,
         init_frontier,
@@ -117,6 +117,11 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
     politeness = spark.read.parquet(args.politeness) if args.politeness else None
 
     state = init_frontier(spark, seeds)
+    # persistence goes through the StateStore seam: swap in
+    # IcebergStateStore on a catalog-equipped cluster, same loop
+    store = (
+        ParquetDirectoryStore(spark, args.checkpoint) if args.checkpoint else None
+    )
     use_bloom: bool | str = {"exact": False, "bloom": True, "cuckoo": "cuckoo"}[
         args.seen_filter
     ]
@@ -140,8 +145,8 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
             scheduled.select("host", "host_rank", "url").write.mode(
                 "overwrite"
             ).parquet(f"{args.output}/scheduled_round_{rnd:06d}")
-        if args.checkpoint:
-            save_checkpoint(args.checkpoint, state, metrics={"scheduled": len(order)})
+        if store is not None:
+            store.commit_round(state, metrics={"scheduled": len(order)})
         summary.append({"round": rnd, "scheduled": len(order)})
     print(json.dumps({"rounds": summary}), file=sys.stderr)
     return 0
