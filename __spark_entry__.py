@@ -559,6 +559,153 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (functions/quality.py) over the
+    documents table: measured values + per-rule booleans + composite
+    keep. All codegen'd JVM expressions; the DuckDB oracle recomputes
+    every rule from the same engine-portable primitives."""
+    from warcsum_spark.functions.quality import with_quality_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    marked = with_quality_rules(docs)
+    return marked.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "stopword_hits",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "keep",
+    )
+
+
+def _oracle_quality_filter() -> str:
+    from warcsum_spark.functions.quality import (
+        ALPHA_WORD_RE,
+        BULLET_LINE_RE,
+        DEFAULT_BOUNDS,
+        ELLIPSIS_LINE_RE,
+        WS_CLASS,
+    )
+    from warcsum_spark.functions.text import STOPWORDS
+
+    b = DEFAULT_BOUNDS
+
+    def occ(expr: str, marker: str) -> str:
+        return _sql_count_occ(expr, marker)
+
+    def re_count(expr: str, pat: str) -> str:
+        # DuckDB single-quoted literals are escape-free: pass backslashes
+        # through verbatim, double only quotes
+        p = pat.replace("'", "''")
+        return f"len(regexp_extract_all({expr}, '{p}'))"
+
+    stop_hits = " + ".join(
+        f"CASE WHEN {occ('padded', f' {w} ')} > 0 THEN 1 ELSE 0 END"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id, text, norm,
+         CASE WHEN norm = '' THEN 0 ELSE {occ('norm', ' ')} + 1 END AS n_words,
+         {occ('text', chr(10))} + 1 AS n_lines,
+         ' ' || lower(norm) || ' ' AS padded
+  FROM staged
+), meas AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE (length(norm) - (n_words - 1)) / CAST(n_words AS DOUBLE)
+         END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE ({occ('text', '#')} + {occ('text', '...')})
+                   / CAST(n_words AS DOUBLE)
+         END AS symbol_word_ratio,
+         {re_count('text', BULLET_LINE_RE)} / CAST(n_lines AS DOUBLE)
+           AS bullet_line_frac,
+         {re_count('text', ELLIPSIS_LINE_RE)} / CAST(n_lines AS DOUBLE)
+           AS ellipsis_line_frac,
+         CASE WHEN n_words = 0 THEN NULL
+              ELSE {re_count("' ' || norm", ALPHA_WORD_RE)}
+                   / CAST(n_words AS DOUBLE)
+         END AS alpha_word_frac,
+         CAST({stop_hits} AS INT) AS stopword_hits
+  FROM m
+), rules AS (
+  SELECT *,
+    COALESCE(n_words >= {b["min_words"]} AND n_words <= {b["max_words"]}, false)
+      AS rule_word_count,
+    COALESCE(mean_word_len >= {b["min_mean_word_len"]}
+             AND mean_word_len <= {b["max_mean_word_len"]}, false)
+      AS rule_mean_word_len,
+    COALESCE(symbol_word_ratio <= {b["max_symbol_word_ratio"]}, false)
+      AS rule_symbol_ratio,
+    COALESCE(bullet_line_frac <= {b["max_bullet_line_frac"]}, false)
+      AS rule_bullet_lines,
+    COALESCE(ellipsis_line_frac <= {b["max_ellipsis_line_frac"]}, false)
+      AS rule_ellipsis_lines,
+    COALESCE(alpha_word_frac >= {b["min_alpha_word_frac"]}, false)
+      AS rule_alpha_words,
+    COALESCE(stopword_hits >= {b["min_stopword_hits"]}, false) AS rule_stopwords
+  FROM meas
+)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_word_frac, 6) AS alpha_word_frac, stopword_hits,
+       rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+       rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words,
+       rule_stopwords,
+       (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+        AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
+        AND rule_stopwords) AS keep
+FROM rules
+"""
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): docs sharing
+    ≥1 distinct 3-gram shingle with the benchmark slice (doc_id < 10),
+    with the overlap count. Benchmark shingles broadcast — no corpus
+    shuffle beyond the per-doc distinct."""
+    from warcsum_spark.operators.decontam import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_overlap(corpus, bench, k=3, min_common=1)
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+)
+SELECT sh.doc_id, count(*) AS n_common
+FROM sh JOIN bench USING (shingle)
+WHERE sh.doc_id >= 10
+GROUP BY sh.doc_id
+HAVING count(*) >= 1
+"""
+
+
 def _sql_count_occ(expr: str, marker: str) -> str:
     m = marker.replace("'", "''")
     return (
@@ -1235,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "pii_redact": q_pii_redact,
         "link_extract": q_link_extract,
+        "quality_filter_docs": q_quality_filter_docs,
+        "decontaminate_docs": q_decontaminate_docs,
     }
 
 
@@ -1273,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         # materialized to parquet and only the pair logic runs in SQL.
         "minhash_lsh_docs": _oracle_minhash_lsh(),
         "simhash_docs": _oracle_simhash(),
+        "quality_filter_docs": _oracle_quality_filter(),
+        "decontaminate_docs": ORACLE_DECONTAMINATE,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
