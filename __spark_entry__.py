@@ -672,6 +672,173 @@ FROM rules
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition battery (functions/repetition.py) over the
+    documents table: duplicate line/paragraph (char) fractions and dup
+    n-gram fractions from the zero-shuffle JVM array tier, top-n-gram
+    character fractions from the one-shuffle frequency tier, per-family
+    rule booleans, and the composite keep. The DuckDB oracle recomputes
+    every signal from the same split/distinct/aggregate primitives."""
+    from warcsum_spark.functions.repetition import with_repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = with_repetition_signals(docs)
+    meas = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "dup_5gram_frac",
+        "dup_10gram_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ]
+    rules = [c for c in marked.columns if c.startswith("rule_")]
+    return marked.select(
+        "doc_id",
+        *[F.round(c, 6).alias(c) for c in meas],
+        *rules,
+        "keep_repetition",
+    )
+
+
+def _oracle_repetition() -> str:
+    """DuckDB twin of q_repetition_signals. Same unit definitions
+    (module docstring of functions/repetition.py): blank units dropped,
+    dup fracs over the unit multiset, top-n-gram mode with ties to the
+    lexicographically largest n-gram, fraction clamped to 1.0."""
+    from warcsum_spark.functions.quality import WS_CLASS
+    from warcsum_spark.functions.repetition import (
+        DEFAULT_REPETITION_BOUNDS as B,
+        PARA_SPLIT_RE,
+        _NONBLANK_RE,
+    )
+
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(words) - {n} + 2, 1)), "
+            f"i -> array_to_string(list_slice(words, i, i + {n} - 1), ' '))"
+        )
+
+    dup_ngram_cols = ",\n         ".join(
+        f"""CASE WHEN len(grams{n}) = 0 THEN NULL
+              ELSE (len(grams{n}) - len(list_distinct(grams{n})))
+                   / CAST(len(grams{n}) AS DOUBLE) END AS dup_{n}gram_frac"""
+        for n in B["max_dup_ngram_frac"]
+    )
+    gram_defs = ",\n         ".join(
+        f"{grams(n)} AS grams{n}" for n in sorted(
+            set(B["max_dup_ngram_frac"]) | set(B["max_top_ngram_char_frac"])
+        )
+    )
+    top_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, wc, {n} AS n, unnest(grams{n}) AS ngram FROM ngr"
+        for n in B["max_top_ngram_char_frac"]
+    )
+    top_pivot = ",\n         ".join(
+        f"max(CASE WHEN n = {n} THEN f END) AS top_{n}gram_char_frac"
+        for n in B["max_top_ngram_char_frac"]
+    )
+    top_rules = ",\n    ".join(
+        f"COALESCE(top_{n}gram_char_frac <= {t}, true) AS rule_top_{n}gram"
+        for n, t in B["max_top_ngram_char_frac"].items()
+    )
+    dup_ngram_rules = ",\n    ".join(
+        f"COALESCE(dup_{n}gram_frac <= {t}, true) AS rule_dup_{n}gram"
+        for n, t in B["max_dup_ngram_frac"].items()
+    )
+    all_rules = (
+        ["rule_dup_lines", "rule_dup_paras", "rule_dup_line_chars",
+         "rule_dup_para_chars"]
+        + [f"rule_top_{n}gram" for n in B["max_top_ngram_char_frac"]]
+        + [f"rule_dup_{n}gram" for n in B["max_dup_ngram_frac"]]
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+), base AS (
+  SELECT doc_id, norm,
+         list_filter(string_split(text, chr(10)),
+                     x -> regexp_matches(x, '{_NONBLANK_RE}')) AS lines,
+         list_filter(regexp_split_to_array(text, '{PARA_SPLIT_RE}'),
+                     x -> regexp_matches(x, '{_NONBLANK_RE}')) AS paras,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS words
+  FROM staged
+), ngr AS (
+  SELECT doc_id, lines, paras,
+         CASE WHEN norm = '' THEN 0
+              ELSE length(norm) - (len(words) - 1) END AS wc,
+         {gram_defs}
+  FROM base
+), meas AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) = 0 THEN NULL
+              ELSE (len(lines) - len(list_distinct(lines)))
+                   / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+         CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) = 0
+              THEN NULL
+              ELSE (list_sum(list_transform(lines, x -> length(x)))
+                    - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+                   / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+         END AS dup_line_char_frac,
+         CASE WHEN len(paras) = 0 THEN NULL
+              ELSE (len(paras) - len(list_distinct(paras)))
+                   / CAST(len(paras) AS DOUBLE) END AS dup_para_frac,
+         CASE WHEN coalesce(list_sum(list_transform(paras, x -> length(x))), 0) = 0
+              THEN NULL
+              ELSE (list_sum(list_transform(paras, x -> length(x)))
+                    - list_sum(list_transform(list_distinct(paras), x -> length(x))))
+                   / CAST(list_sum(list_transform(paras, x -> length(x))) AS DOUBLE)
+         END AS dup_para_char_frac,
+         {dup_ngram_cols}
+  FROM ngr
+), g AS (
+{top_union}
+), cnts AS (
+  SELECT doc_id, wc, n, ngram, count(*) AS cnt FROM g GROUP BY ALL
+), md AS (
+  SELECT doc_id, n,
+         least(cnt * (length(ngram) - (n - 1))
+               / CAST(nullif(wc, 0) AS DOUBLE), 1.0) AS f,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, ngram DESC) AS rn
+  FROM cnts
+), topfrac AS (
+  SELECT doc_id,
+         {top_pivot}
+  FROM md WHERE rn = 1 GROUP BY doc_id
+), rules AS (
+  SELECT meas.*, {", ".join(f"top_{n}gram_char_frac" for n in B["max_top_ngram_char_frac"])},
+    COALESCE(dup_line_frac <= {B["max_dup_line_frac"]}, true) AS rule_dup_lines,
+    COALESCE(dup_para_frac <= {B["max_dup_para_frac"]}, true) AS rule_dup_paras,
+    COALESCE(dup_line_char_frac <= {B["max_dup_line_char_frac"]}, true)
+      AS rule_dup_line_chars,
+    COALESCE(dup_para_char_frac <= {B["max_dup_para_char_frac"]}, true)
+      AS rule_dup_para_chars,
+    {top_rules},
+    {dup_ngram_rules}
+  FROM meas LEFT JOIN topfrac USING (doc_id)
+)
+SELECT doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(dup_para_frac, 6) AS dup_para_frac,
+       round(dup_para_char_frac, 6) AS dup_para_char_frac,
+       round(dup_5gram_frac, 6) AS dup_5gram_frac,
+       round(dup_10gram_frac, 6) AS dup_10gram_frac,
+       round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+       round(top_3gram_char_frac, 6) AS top_3gram_char_frac,
+       round(top_4gram_char_frac, 6) AS top_4gram_char_frac,
+       {", ".join(all_rules)},
+       ({" AND ".join(all_rules)}) AS keep_repetition
+FROM rules
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): docs sharing
     ≥1 distinct 3-gram shingle with the benchmark slice (doc_id < 10),
@@ -1383,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "link_extract": q_link_extract,
         "quality_filter_docs": q_quality_filter_docs,
+        "repetition_signals": q_repetition_signals,
         "decontaminate_docs": q_decontaminate_docs,
     }
 
@@ -1423,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_docs": _oracle_minhash_lsh(),
         "simhash_docs": _oracle_simhash(),
         "quality_filter_docs": _oracle_quality_filter(),
+        "repetition_signals": _oracle_repetition(),
         "decontaminate_docs": ORACLE_DECONTAMINATE,
     }
     ivf = _oracle_ann_ivf()

@@ -1,0 +1,244 @@
+"""Repetition-removal signals for training-data pipelines — the
+Gopher repetition battery (Rae et al. 2021, §A1.1: duplicate line /
+paragraph fractions, duplicate line/paragraph *character* fractions,
+top n-gram character fraction, duplicated n-gram fraction) re-expressed
+Spark-first.
+
+Two tiers, chosen by what the computation actually needs:
+
+* **Array tier (zero shuffle)** — every per-document signal that only
+  needs multiset statistics of the document's own lines / paragraphs /
+  n-grams (dup fractions, dup char fractions, dup n-gram fractions) is
+  a pure JVM expression over ``split`` + ``array_distinct`` +
+  ``aggregate``: it fuses into the scan's whole-stage codegen and never
+  leaves the input partition. At 100 TB this is the difference between
+  a map-only pass and a token-grain shuffle.
+* **Frequency tier (one shuffle)** — the top-n-gram character fraction
+  needs the per-document n-gram *mode*, which is a real frequency table:
+  ``posexplode`` → ``groupBy(doc, n, ngram)`` → per-(doc, n) max. The
+  shuffle key is (doc_id, n, ngram), so map-side partial aggregation
+  collapses each document's repeats before the exchange — the shuffle
+  carries at most the distinct-n-gram count, and repetitive documents
+  (the ones this filter exists to catch) compress the most.
+
+Engine-portability rules match functions/quality.py: the oracle
+recomputes every signal in DuckDB from the same split/distinct/aggregate
+primitives, so all expressions stay inside the RE2 ∩ java.util.regex
+common subset and the Spark ↔ DuckDB list-function common subset.
+
+Definitions (documented here because published implementations differ):
+
+* lines = ``\\n``-separated, whitespace-only lines dropped; paragraphs =
+  ``\\n{2,}``-separated, whitespace-only paragraphs dropped.
+* dup_*_frac       = 1 - distinct/total over the unit multiset.
+* dup_*_char_frac  = chars in occurrences after the first of each
+  distinct unit / total unit chars (i.e. re-counting a unit's length
+  once per *extra* occurrence).
+* top_{n}gram_char_frac = (mode count × mode n-gram word-chars) /
+  total word-chars, clamped to 1.0 (overlapping occurrences overcount),
+  words from the quality.py whitespace-normalized projection; count
+  ties broken to the lexicographically LARGEST n-gram (struct-max).
+* dup_{n}gram_frac = 1 - distinct/total over the n-gram multiset (the
+  character-coverage variant in the paper needs per-position overlap
+  bookkeeping that buys little at filter time).
+
+All ratio signals are null for documents with no units (0/0); the rule
+booleans coalesce null to *pass* (an empty document has no repetition —
+the length rules in functions/quality.py are what reject it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher §A1.1 table A2 thresholds.
+DEFAULT_REPETITION_BOUNDS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_para_char_frac": 0.20,
+    "max_top_ngram_char_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "max_dup_ngram_frac": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+PARA_SPLIT_RE = "\n{2,}"
+
+# non-whitespace somewhere in the unit; explicit class, see quality.WS_CLASS
+_NONBLANK_RE = "[^ \t\n\x0b\f\r]"
+
+
+def _units(text: Column, sep_regex: str) -> Column:
+    """Split ``text`` on ``sep_regex`` and drop whitespace-only units."""
+    return F.filter(
+        F.split(text, sep_regex), lambda x: x.rlike(_NONBLANK_RE)
+    )
+
+
+def _norm_words(text: Column) -> Column:
+    """Word array from the quality.py whitespace-normalized projection
+    (token boundaries defined once, shared with the quality battery)."""
+    from warcsum_spark.functions.quality import _norm
+
+    norm = _norm(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _dup_fracs(units: Column, prefix: str) -> dict[str, Column]:
+    """dup fraction + dup char fraction for a unit array (lines or
+    paragraphs). Pure JVM; see module docstring for the definitions."""
+    n = F.size(units)
+    nd = F.when(n == 0, None).otherwise(n.cast("double"))
+    total_chars = F.aggregate(
+        units, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(units), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    tcd = F.when(total_chars == 0, None).otherwise(total_chars.cast("double"))
+    return {
+        f"dup_{prefix}_frac": (n - F.size(F.array_distinct(units))) / nd,
+        f"dup_{prefix}_char_frac": (total_chars - distinct_chars) / tcd,
+    }
+
+
+def _ngram_array(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, [] when fewer than n words.
+    The < n guard matters: ``sequence(1, 0)`` is a DESCENDING sequence
+    in Spark ([1, 0]), not empty, and slice rejects start 0."""
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def line_repetition_measures(text: Column) -> dict[str, Column]:
+    """The zero-shuffle tier: dup line/paragraph (char) fractions and
+    dup n-gram fractions, all as codegen'd JVM array expressions."""
+    out: dict[str, Column] = {}
+    out.update(_dup_fracs(_units(text, "\n"), "line"))
+    out.update(_dup_fracs(_units(text, PARA_SPLIT_RE), "para"))
+    words = _norm_words(text)
+    for n in DEFAULT_REPETITION_BOUNDS["max_dup_ngram_frac"]:
+        grams = _ngram_array(words, n)
+        sz = F.size(grams)
+        szd = F.when(sz == 0, None).otherwise(sz.cast("double"))
+        out[f"dup_{n}gram_frac"] = (sz - F.size(F.array_distinct(grams))) / szd
+    return out
+
+
+def top_ngram_char_fracs(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """The one-shuffle tier: per-document top-n-gram character fraction
+    for each n in ``ns``, as (doc_col, top_{n}gram_char_frac...).
+
+    ONE posexplode over a stacked (n, ngram) array serves every n, so
+    the plan has a single exchange keyed (doc, n, ngram) with map-side
+    partial aggregation, then a per-(doc, n) max + conditional-agg
+    pivot back to one row per document. Documents with no n-grams for
+    some n simply lack that (doc, n) group; the caller's left join
+    leaves the fraction null there.
+    """
+    words = _norm_words(F.col(text_col))
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # NB: the tag lambda must take ONE argument — F.transform feeds the
+    # element index to a second parameter, which would silently replace a
+    # `n=n` default with the position.
+    def _tagged(n: int) -> Column:
+        return F.transform(
+            _ngram_array(words, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("ngram")),
+        )
+
+    stacked = F.flatten(F.array(*[_tagged(n) for n in ns]))
+    exploded = df.select(
+        F.col(doc_col), word_chars.alias("_word_chars"), F.explode(stacked).alias("g")
+    ).select(doc_col, "_word_chars", F.col("g.n").alias("n"), F.col("g.ngram").alias("ngram"))
+
+    counts = exploded.groupBy(doc_col, "_word_chars", "n", "ngram").agg(
+        F.count("*").alias("cnt")
+    )
+    # per-(doc, n) mode with deterministic tie-break: max on (cnt, ngram)
+    # packed in a struct — no window, one partial-aggregable max.
+    mode = counts.groupBy(doc_col, "_word_chars", "n").agg(
+        F.max(F.struct(F.col("cnt"), F.col("ngram").alias("ngram"))).alias("top")
+    )
+    # least(..., 1.0): overlapping occurrences (e.g. "x y x y x y") make
+    # count × chars overcount the covered characters past 100%; clamp so
+    # the signal stays a fraction.
+    frac = F.least(
+        F.col("top.cnt")
+        * (F.length("top.ngram") - (F.col("n") - 1))
+        / F.when(F.col("_word_chars") == 0, None).otherwise(
+            F.col("_word_chars").cast("double")
+        ),
+        F.lit(1.0),
+    )
+    pivoted = (
+        mode.withColumn("_frac", frac)
+        .groupBy(doc_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == n, F.col("_frac"))).alias(
+                    f"top_{n}gram_char_frac"
+                )
+                for n in ns
+            ]
+        )
+    )
+    return pivoted
+
+
+def with_repetition_signals(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    bounds: dict | None = None,
+    keep_col: str = "keep_repetition",
+) -> DataFrame:
+    """Full battery: measured values + per-family rule booleans + the
+    composite ``keep_repetition``. Null measures pass their rules (see
+    module docstring). Array-tier signals add no shuffle; the top-n-gram
+    join is the only exchange beyond the n-gram frequency aggregation."""
+    b = dict(DEFAULT_REPETITION_BOUNDS, **(bounds or {}))
+    staged = df.withColumns(
+        {k: v for k, v in line_repetition_measures(F.col(text_col)).items()}
+    )
+    ns = tuple(b["max_top_ngram_char_frac"])
+    top = top_ngram_char_fracs(df, doc_col, text_col, ns)
+    staged = staged.join(top, on=doc_col, how="left")
+
+    def ok(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(True))
+
+    rules = {
+        "rule_dup_lines": ok(F.col("dup_line_frac") <= b["max_dup_line_frac"]),
+        "rule_dup_paras": ok(F.col("dup_para_frac") <= b["max_dup_para_frac"]),
+        "rule_dup_line_chars": ok(
+            F.col("dup_line_char_frac") <= b["max_dup_line_char_frac"]
+        ),
+        "rule_dup_para_chars": ok(
+            F.col("dup_para_char_frac") <= b["max_dup_para_char_frac"]
+        ),
+    }
+    for n, t in b["max_top_ngram_char_frac"].items():
+        rules[f"rule_top_{n}gram"] = ok(F.col(f"top_{n}gram_char_frac") <= t)
+    for n, t in b["max_dup_ngram_frac"].items():
+        rules[f"rule_dup_{n}gram"] = ok(F.col(f"dup_{n}gram_frac") <= t)
+    out = staged.withColumns(rules)
+    keep = None
+    for r in rules:
+        keep = F.col(r) if keep is None else keep & F.col(r)
+    return out.withColumn(keep_col, keep)
