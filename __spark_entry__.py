@@ -839,6 +839,64 @@ FROM rules
 """
 
 
+_BOILERPLATE_PARA = "Subscribe to our newsletter for updates every week"
+
+
+def q_para_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (operators/para_dedup.py)
+    with document reassembly. A shared boilerplate paragraph is appended
+    to every document (the real-world shape this pass removes: cookie
+    banners, footers), so exactly one document keeps it. The DuckDB
+    oracle partitions by the paragraph TEXT rather than its md5, which
+    doubles as a digest-collision check on the engine's hash path."""
+    from warcsum_spark.operators.para_dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat("text", F.lit("\n\n" + _BOILERPLATE_PARA)).alias("text"),
+    )
+    return dedup_paragraphs(docs)
+
+
+def _oracle_para_dedup() -> str:
+    from warcsum_spark.functions.repetition import _NONBLANK_RE, PARA_SPLIT_RE
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || '{_BOILERPLATE_PARA}' AS text
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{PARA_SPLIT_RE}'),
+                     x -> regexp_matches(x, '{_NONBLANK_RE}')) AS paras
+  FROM docs
+), p AS (
+  SELECT doc_id, i - 1 AS para_idx, paras[i] AS para
+  FROM sp, unnest(range(1, len(paras) + 1)) AS t(i)
+), k AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM p
+), reb AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS text,
+         count(*) AS n_kept
+  FROM k WHERE rn = 1 GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(reb.text, '') AS text,
+       CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+FROM docs d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): docs sharing
     ≥1 distinct 3-gram shingle with the benchmark slice (doc_id < 10),
@@ -1189,7 +1247,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(emb.first()["embedding"])
+    dim = _embedding_dim(sf_dir)  # parquet footer, not a .first() job
     copies = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
     )
@@ -1247,6 +1305,42 @@ WITH urls AS (
 SELECT DISTINCT url FROM urls WHERE event_type <> 'click'
 EXCEPT
 SELECT DISTINCT url FROM urls WHERE event_type = 'click'
+"""
+
+
+_BLOCKED_DOMAINS = ("host3.test", "host7.test", "host11.test")
+_BLOCKED_URL_PATTERNS = ("/p/[0-9]*7$",)
+
+
+def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + URL keyword gate (frontier/blocklist.py,
+    inline mode: JVM arrays_overlap over the parent-domain expansion —
+    zero joins). The DuckDB oracle expresses the same semantics as
+    direct equality/suffix predicates, so the suffix-expansion logic is
+    cross-checked rather than transcribed. Join mode (broadcast
+    equi-join for UT1-sized blocklists) is covered in pytest."""
+    from warcsum_spark.frontier.blocklist import blocklist_gate
+
+    urls = _event_urls(spark, sf_dir)
+    return blocklist_gate(
+        urls, _BLOCKED_DOMAINS, url_patterns=_BLOCKED_URL_PATTERNS
+    ).select("url", "host", F.round("priority", 6).alias("priority"), "event_type")
+
+
+ORACLE_BLOCKLIST = f"""
+WITH urls AS (
+  SELECT 'http://host' || CAST(user_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(event_id AS VARCHAR) AS url,
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+         value AS priority, event_type
+  FROM events
+)
+SELECT url, host, round(priority, 6) AS priority, event_type
+FROM urls
+WHERE NOT regexp_matches(url, '{_BLOCKED_URL_PATTERNS[0]}')
+  AND NOT ({" OR ".join(
+      f"(host = '{d}' OR host LIKE '%.{d}')" for d in _BLOCKED_DOMAINS
+  )})
 """
 
 
@@ -1543,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "frontier_schedule": q_frontier_schedule,
         "url_seen_gate": q_url_seen_gate,
+        "blocklist_gate": q_blocklist_gate,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1551,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "quality_filter_docs": q_quality_filter_docs,
         "repetition_signals": q_repetition_signals,
+        "para_dedup_docs": q_para_dedup_docs,
         "decontaminate_docs": q_decontaminate_docs,
     }
 
@@ -1579,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "frontier_schedule": ORACLE_FRONTIER_SCHEDULE,
         "url_seen_gate": ORACLE_URL_SEEN,
+        "blocklist_gate": ORACLE_BLOCKLIST,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
@@ -1592,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _oracle_simhash(),
         "quality_filter_docs": _oracle_quality_filter(),
         "repetition_signals": _oracle_repetition(),
+        "para_dedup_docs": _oracle_para_dedup(),
         "decontaminate_docs": ORACLE_DECONTAMINATE,
     }
     ivf = _oracle_ann_ivf()
