@@ -1308,6 +1308,87 @@ SELECT DISTINCT url FROM urls WHERE event_type = 'click'
 """
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click event picks up the
+    most recent view event for the same user at-or-before its timestamp
+    — the "state as of fetch time" primitive (robots snapshot, previous
+    capture) in crawl terms. The DuckDB oracle is the NATIVE ``ASOF
+    LEFT JOIN``, so the union-window implementation is checked against
+    an engine that implements the semantics independently. Right-side
+    timestamp ties are pre-aggregated away (max_by event_id) in both
+    engines to keep the match well-defined."""
+    from warcsum_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("view_value"),
+            F.max("event_id").alias("view_event"),
+        )
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["view_value", "view_event"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("view_value", 6).alias("view_value"),
+        "view_event",
+    )
+
+
+ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts,
+         max_by(value, event_id) AS view_value,
+         max(event_id) AS view_event
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       round(v.view_value, 6) AS view_value, v.view_event
+FROM clicks c
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/range_join.py): event values against
+    50 overlapping intervals [7i, 7i+10] — each point matches 1-2
+    intervals. The engine runs the bin-explode hash join (broadcast);
+    the DuckDB oracle runs the naive inequality join, so the binning
+    rewrite is checked against the direct semantics."""
+    from warcsum_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("value"))
+    intervals = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 7.0).alias("lo"),
+        (F.col("id") * 7.0 + 10.0).alias("hi"),
+    )
+    out = range_join(
+        ev, intervals, "value", bin_width=8.0, broadcast_intervals=True
+    )
+    return out.select(
+        "event_id", "iid", F.round("value", 6).alias("value")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.event_id, t.i AS iid, round(e.value, 6) AS value
+FROM events e
+JOIN range(50) t(i)
+  ON e.value >= t.i * 7.0 AND e.value <= t.i * 7.0 + 10.0
+"""
+
+
 _BLOCKED_DOMAINS = ("host3.test", "host7.test", "host11.test")
 _BLOCKED_URL_PATTERNS = ("/p/[0-9]*7$",)
 
@@ -1638,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "url_seen_gate": q_url_seen_gate,
         "blocklist_gate": q_blocklist_gate,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1676,6 +1759,8 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": ORACLE_FRONTIER_SCHEDULE,
         "url_seen_gate": ORACLE_URL_SEEN,
         "blocklist_gate": ORACLE_BLOCKLIST,
+        "asof_join_events": ORACLE_ASOF,
+        "range_join_events": ORACLE_RANGE_JOIN,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),

@@ -41,6 +41,10 @@ HEADLINE = [
     "ann_bruteforce",
     "frontier_schedule",
     "url_seen_gate",
+    # round 3 additions — kept at the END so per-query deltas vs earlier
+    # rounds stay comparable; the suite total grows by their cost
+    "para_dedup_docs",
+    "repetition_signals",
 ]
 
 
