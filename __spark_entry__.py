@@ -1308,6 +1308,47 @@ SELECT DISTINCT url FROM urls WHERE event_type = 'click'
 """
 
 
+_MIX_WEIGHTS = {"en": 0.3, "de": 0.25, "fr": 0.25, "es": 0.2}  # zh dropped
+
+
+def q_domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (operators/mixing.py): reweight documents by lang
+    to the target proportions, dropping zh (absent from the weights).
+    Membership is the 16-bit md5 bucket, so the DuckDB oracle recomputes
+    the identical sample; the per-group fractions come out of the same
+    min(count/share) formula in both engines."""
+    from warcsum_spark.operators.mixing import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_corpus(docs, "lang", _MIX_WEIGHTS).select("doc_id", "lang")
+
+
+def _oracle_domain_mix() -> str:
+    from warcsum_spark.operators.mixing import fine_bucket_sql
+
+    total = sum(_MIX_WEIGHTS.values())
+    case = " ".join(
+        f"WHEN '{g}' THEN CAST({w / total!r} AS DOUBLE)"
+        for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_group FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_group, CASE lang {case} END AS share FROM counts
+), fr AS (
+  SELECT lang,
+         least(share * (SELECT min(n_group / share) FROM shares
+                        WHERE share IS NOT NULL AND share > 0) / n_group,
+               1.0) AS mix_frac
+  FROM shares WHERE share IS NOT NULL AND share > 0
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fr ON fr.lang = d.lang
+WHERE {fine_bucket_sql('d.doc_id')} / 65536.0 < fr.mix_frac
+"""
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each click event picks up the
     most recent view event for the same user at-or-before its timestamp
@@ -1721,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_gate": q_blocklist_gate,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "domain_mix_docs": q_domain_mix_docs,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1761,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_gate": ORACLE_BLOCKLIST,
         "asof_join_events": ORACLE_ASOF,
         "range_join_events": ORACLE_RANGE_JOIN,
+        "domain_mix_docs": _oracle_domain_mix(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
