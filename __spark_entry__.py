@@ -672,6 +672,14 @@ FROM rules
 """
 
 
+# Scale-sane driver parameterization (the simhash-d=3 precedent): the
+# operator supports the full Gopher n=5..10 dup battery; the driver query
+# runs the {5, 10} endpoints so the staged-projection codegen stays small
+# (each extra n adds a transform/slice tree that Janino compiles once per
+# session — ~1 s each — and an interpreted per-row array build).
+_REP_BOUNDS = {"max_dup_ngram_frac": {5: 0.15, 10: 0.10}}
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition battery (functions/repetition.py) over the
     documents table: duplicate line/paragraph (char) fractions and dup
@@ -682,7 +690,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.functions.repetition import with_repetition_signals
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    marked = with_repetition_signals(docs)
+    marked = with_repetition_signals(docs, bounds=_REP_BOUNDS)
     meas = [
         "dup_line_frac",
         "dup_line_char_frac",
@@ -710,10 +718,12 @@ def _oracle_repetition() -> str:
     lexicographically largest n-gram, fraction clamped to 1.0."""
     from warcsum_spark.functions.quality import WS_CLASS
     from warcsum_spark.functions.repetition import (
-        DEFAULT_REPETITION_BOUNDS as B,
+        DEFAULT_REPETITION_BOUNDS,
         PARA_SPLIT_RE,
         _NONBLANK_RE,
     )
+
+    B = dict(DEFAULT_REPETITION_BOUNDS, **_REP_BOUNDS)
 
     def grams(n: int) -> str:
         return (
@@ -1308,6 +1318,33 @@ SELECT DISTINCT url FROM urls WHERE event_type = 'click'
 """
 
 
+def q_pack_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/packing.py): documents in
+    doc_id order fill 50k-char shards via the two-level prefix sum (no
+    corpus-wide single-task sort). The DuckDB oracle is the global
+    window the operator must equal."""
+    from warcsum_spark.operators.packing import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_shards(
+        docs, "n_chars", budget=50_000, bucket_size=100
+    ).select("doc_id", "n_chars", "cum_before", "shard")
+
+
+ORACLE_PACK_SHARDS = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM documents
+)
+SELECT doc_id, n_chars, cum_before,
+       CAST(floor(cum_before / 50000.0) AS BIGINT) AS shard
+FROM c
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.3, "de": 0.25, "fr": 0.25, "es": 0.2}  # zh dropped
 
 
@@ -1763,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "domain_mix_docs": q_domain_mix_docs,
+        "pack_shards_docs": q_pack_shards_docs,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1804,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": ORACLE_ASOF,
         "range_join_events": ORACLE_RANGE_JOIN,
         "domain_mix_docs": _oracle_domain_mix(),
+        "pack_shards_docs": ORACLE_PACK_SHARDS,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),

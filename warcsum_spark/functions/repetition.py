@@ -118,9 +118,65 @@ def _ngram_array(words: Column, n: int) -> Column:
     )
 
 
+def stage_repetition_units(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] | None = None
+) -> DataFrame:
+    """+ ``_rep_lines``, ``_rep_paras``, ``_rep_words`` and ``_rep_g{n}``
+    (n-gram arrays) as REAL columns, each built once per row.
+
+    This staging is the performance contract of the whole battery:
+    higher-order array functions run INTERPRETED (they disable
+    whole-stage codegen and get no common-subexpression elimination),
+    so an expression like ``(size(g) - size(array_distinct(g))) /
+    size(g)`` with ``g`` spelled out inline rebuilds the n-gram array —
+    and the regex-normalize + split chain under it — once per
+    REFERENCE, and ``slice`` inside a transform lambda re-evaluates its
+    target per ELEMENT. Measured at sf0.1 (5000 × 300-char docs): the
+    inline form costs ~17 s per dup-n-gram measure; the staged form
+    runs the full battery in well under a second. CollapseProject will
+    not inline a multi-referenced non-trivial alias, so the staged
+    columns stay materialized-per-row."""
+    staged = df.withColumns(
+        {
+            "_rep_lines": _units(F.col(text_col), "\n"),
+            "_rep_paras": _units(F.col(text_col), PARA_SPLIT_RE),
+            "_rep_words": _norm_words(F.col(text_col)),
+        }
+    )
+    if ns is None:
+        ns = sorted(
+            set(DEFAULT_REPETITION_BOUNDS["max_dup_ngram_frac"])
+            | set(DEFAULT_REPETITION_BOUNDS["max_top_ngram_char_frac"])
+        )
+    return staged.withColumns(
+        {f"_rep_g{n}": _ngram_array(F.col("_rep_words"), n) for n in sorted(ns)}
+    )
+
+
+_STAGED_COLS = ("_rep_lines", "_rep_paras", "_rep_words")
+
+
+def repetition_measures_staged(
+    dup_ns=tuple(DEFAULT_REPETITION_BOUNDS["max_dup_ngram_frac"]),
+) -> dict[str, Column]:
+    """The zero-shuffle tier over stage_repetition_units() columns."""
+    out: dict[str, Column] = {}
+    out.update(_dup_fracs(F.col("_rep_lines"), "line"))
+    out.update(_dup_fracs(F.col("_rep_paras"), "para"))
+    for n in dup_ns:
+        grams = F.col(f"_rep_g{n}")
+        sz = F.size(grams)
+        szd = F.when(sz == 0, None).otherwise(sz.cast("double"))
+        out[f"dup_{n}gram_frac"] = (sz - F.size(F.array_distinct(grams))) / szd
+    return out
+
+
 def line_repetition_measures(text: Column) -> dict[str, Column]:
-    """The zero-shuffle tier: dup line/paragraph (char) fractions and
-    dup n-gram fractions, all as codegen'd JVM array expressions."""
+    """Convenience inline form of the zero-shuffle tier (expressions
+    over a raw text column). CORRECTNESS-equal to the staged form but
+    rebuilds units per reference — fine for a handful of measures or
+    small rows; the battery (with_repetition_signals) uses
+    stage_repetition_units(), see its docstring for why."""
     out: dict[str, Column] = {}
     out.update(_dup_fracs(_units(text, "\n"), "line"))
     out.update(_dup_fracs(_units(text, PARA_SPLIT_RE), "para"))
@@ -148,17 +204,21 @@ def top_ngram_char_fracs(
     pivot back to one row per document. Documents with no n-grams for
     some n simply lack that (doc, n) group; the caller's left join
     leaves the fraction null there.
+
+    Accepts a frame already staged by stage_repetition_units() (the
+    ``_rep_*`` columns are reused); otherwise stages internally.
     """
-    words = _norm_words(F.col(text_col))
+    if "_rep_words" not in df.columns:
+        df = stage_repetition_units(df, text_col)
     word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        F.col("_rep_words"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     # NB: the tag lambda must take ONE argument — F.transform feeds the
     # element index to a second parameter, which would silently replace a
     # `n=n` default with the position.
     def _tagged(n: int) -> Column:
         return F.transform(
-            _ngram_array(words, n),
+            F.col(f"_rep_g{n}"),
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("ngram")),
         )
 
@@ -212,12 +272,19 @@ def with_repetition_signals(
     composite ``keep_repetition``. Null measures pass their rules (see
     module docstring). Array-tier signals add no shuffle; the top-n-gram
     join is the only exchange beyond the n-gram frequency aggregation."""
+    from warcsum_spark.session import ensure_min_parallelism
+
     b = dict(DEFAULT_REPETITION_BOUNDS, **(bounds or {}))
-    staged = df.withColumns(
-        {k: v for k, v in line_repetition_measures(F.col(text_col)).items()}
+    df = ensure_min_parallelism(df)  # unsplittable small source → 1 task
+    need_ns = tuple(
+        sorted(set(b["max_dup_ngram_frac"]) | set(b["max_top_ngram_char_frac"]))
     )
+    units = stage_repetition_units(df, text_col, need_ns)
+    staged = units.withColumns(
+        repetition_measures_staged(tuple(b["max_dup_ngram_frac"]))
+    ).drop(*[c for c in units.columns if c.startswith("_rep_")])
     ns = tuple(b["max_top_ngram_char_frac"])
-    top = top_ngram_char_fracs(df, doc_col, text_col, ns)
+    top = top_ngram_char_fracs(units, doc_col, text_col, ns)
     staged = staged.join(top, on=doc_col, how="left")
 
     def ok(cond: Column) -> Column:
