@@ -1386,6 +1386,68 @@ WHERE {fine_bucket_sql('d.doc_id')} / 65536.0 < fr.mix_frac
 """
 
 
+def q_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (frontier/sitemap.py): per-host sitemap.xml
+    bodies are BUILT from the event URL table (entries in event_id
+    order), then parsed back by the JVM regex extractor. The DuckDB
+    oracle computes what the parse must yield from first principles —
+    a round-trip identity check on the extraction rules."""
+    from warcsum_spark.frontier.sitemap import parse_sitemap
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+    )
+    entry = F.concat(
+        F.lit("<url>\n  <loc>http://"),
+        host,
+        F.lit("/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("</loc>\n  <lastmod>2026-01-01</lastmod>\n  <priority>"),
+        (F.col("event_id") % 10).cast("double") / 10,
+        F.lit("</priority>\n</url>"),
+    )
+    bodies = (
+        ev.select(host.alias("host"), F.struct("event_id", entry.alias("x")).alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("e")), lambda s: s["x"]
+                    ),
+                    "\n",
+                ),
+                F.lit("\n</urlset>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("http://"), "host", F.lit("/sitemap.xml")).alias(
+                "sitemap_url"
+            ),
+            "body",
+        )
+    )
+    return parse_sitemap(bodies)
+
+
+ORACLE_SITEMAP = """
+WITH u AS (
+  SELECT 'http://host' || CAST(user_id % 20 AS VARCHAR) || '.test' AS base,
+         event_id
+  FROM events
+)
+SELECT base || '/sitemap.xml' AS sitemap_url,
+       CAST(row_number() OVER (PARTITION BY base ORDER BY event_id) - 1
+            AS INT) AS entry_idx,
+       base || '/p/' || CAST(event_id AS VARCHAR) AS url,
+       '2026-01-01' AS lastmod,
+       CAST(event_id % 10 AS DOUBLE) / 10 AS priority
+FROM u
+"""
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each click event picks up the
     most recent view event for the same user at-or-before its timestamp
@@ -1801,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "domain_mix_docs": q_domain_mix_docs,
         "pack_shards_docs": q_pack_shards_docs,
+        "sitemap_seed": q_sitemap_seed,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1843,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": ORACLE_RANGE_JOIN,
         "domain_mix_docs": _oracle_domain_mix(),
         "pack_shards_docs": ORACLE_PACK_SHARDS,
+        "sitemap_seed": ORACLE_SITEMAP,
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
