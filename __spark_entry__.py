@@ -672,6 +672,56 @@ FROM rules
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (operators/tfidf.py); sklearn
+    smooth-idf definition, ties to the lexicographically smaller term.
+    The DuckDB oracle recomputes tf, df, idf, and the ranking from the
+    same normalized tokenization."""
+    from warcsum_spark.operators.tfidf import top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", F.round("score", 6).alias("score")
+    )
+
+
+def _oracle_tfidf() -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '{WS_CLASS}+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+), wsrc AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS words
+  FROM staged
+), w AS (
+  SELECT doc_id, len(words) AS n_words, unnest(words) AS term FROM wsrc
+), tc AS (
+  SELECT doc_id, term, n_words, count(*) AS tc FROM w GROUP BY ALL
+), dfq AS (
+  SELECT term, count(*) AS df_count FROM tc GROUP BY term
+), n AS (
+  SELECT count(*) AS nd FROM documents
+), s AS (
+  SELECT tc.doc_id, tc.term,
+         tc.tc / tc.n_words * (ln((nd + 1) / (df_count + 1)) + 1) AS score
+  FROM tc JOIN dfq USING (term) CROSS JOIN n
+), r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, round(score, 6) AS score
+FROM r WHERE rank <= 3
+"""
+
+
 # Scale-sane driver parameterization (the simhash-d=3 precedent): the
 # operator supports the full Gopher n=5..10 dup battery; the driver query
 # runs the {5, 10} endpoints so the staged-projection codegen stays small
@@ -1864,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_docs": q_domain_mix_docs,
         "pack_shards_docs": q_pack_shards_docs,
         "sitemap_seed": q_sitemap_seed,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1907,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_docs": _oracle_domain_mix(),
         "pack_shards_docs": ORACLE_PACK_SHARDS,
         "sitemap_seed": ORACLE_SITEMAP,
+        "tfidf_top_terms": _oracle_tfidf(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
