@@ -67,15 +67,23 @@ def _warm_arrow_workers(spark) -> None:
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall clock, min over WARCSUM_SUITE_REPS passes
+    (default 2). Single-pass numbers on this box swing 2-20x with
+    co-tenant load and one-off JIT/GC events (a 1.3 s query has been
+    observed at 45 s once); min-of-2 keeps the suite honest without
+    tripling its cost."""
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     # warmup: JVM + Arrow python workers
     _force(qs["pricing_agg"](spark, sf_dir))
     _warm_arrow_workers(spark)
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    reps = int(os.environ.get("WARCSUM_SUITE_REPS", "2"))
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            t = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, float("inf")), t)
     return times
 
 
@@ -114,6 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "loadavg_1min": round(os.getloadavg()[0], 1),
             }
         )
     )
