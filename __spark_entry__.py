@@ -672,6 +672,48 @@ FROM rules
 """
 
 
+def q_classify_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear (fastText-style) quality scoring
+    (operators/classify.py): real hashing-trick plumbing, deterministic
+    stub weights per the brief's stub convention. The DuckDB oracle
+    recomputes the identical buckets, weight lookups, mean-pool, and
+    sigmoid from the inlined weight list."""
+    from warcsum_spark.operators.classify import classify_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classify_quality(docs).select("doc_id", "model_score", "model_keep")
+
+
+def _oracle_classify() -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+    from warcsum_spark.operators.classify import stub_weights
+    from warcsum_spark.operators.mixing import fine_bucket_sql
+
+    w = stub_weights()
+    warr = "[" + ", ".join(repr(x) for x in w) + "]"
+    bucket = fine_bucket_sql("t", seed=7)
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '{WS_CLASS}+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+), wsrc AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS words
+  FROM staged
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(0.0 +
+           coalesce(list_sum(list_transform(words,
+             t -> ({warr})[({bucket} % {len(w)}) + 1])), 0.0)
+           / CAST(greatest(len(words), 1) AS DOUBLE)))), 6) AS model_score
+  FROM wsrc
+)
+SELECT doc_id, model_score, model_score >= 0.5 AS model_keep FROM scored
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (operators/tfidf.py); sklearn
     smooth-idf definition, ties to the lexicographically smaller term.
@@ -1915,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_docs": q_pack_shards_docs,
         "sitemap_seed": q_sitemap_seed,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "classify_quality_docs": q_classify_quality_docs,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -1959,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards_docs": ORACLE_PACK_SHARDS,
         "sitemap_seed": ORACLE_SITEMAP,
         "tfidf_top_terms": _oracle_tfidf(),
+        "classify_quality_docs": _oracle_classify(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
