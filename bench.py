@@ -433,6 +433,18 @@ def run_scaling(sf_dir: str) -> None:
             bw = results[n4]["hw_mem_gbs"] / results[n]["hw_mem_gbs"]
         effs[(n, n4)] = (raw, bw)
 
+    # hand-written analysis sections (e.g. the 8→32 attribution) live
+    # below this marker and survive report regeneration
+    manual_marker = "<!-- manual sections below: preserved across rewrites -->"
+    manual_tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev_md = f.read()
+        if manual_marker in prev_md:
+            manual_tail = prev_md.split(manual_marker, 1)[1]
+    except OSError:
+        pass
+
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH/BASELINE — scaling protocol results\n\n")
         f.write(
@@ -499,6 +511,7 @@ def run_scaling(sf_dir: str) -> None:
                 )
                 + " |\n"
             )
+        f.write("\n" + manual_marker + manual_tail)
     out = {}
     for (n, n4), (raw, bw) in effs.items():
         out[f"scaling_efficiency_{n}_to_{n4}"] = round(raw, 3)
