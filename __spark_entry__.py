@@ -672,6 +672,46 @@ FROM rules
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 40-word windows
+    with 10-word overlap over the documents table (docs are ~50 words,
+    so 1-3 chunks each). The DuckDB oracle rebuilds every window with
+    list_slice arithmetic — texts compared verbatim."""
+    from warcsum_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=40, overlap=10)
+
+
+def _oracle_chunk(c: int = 40, o: int = 10) -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+
+    step = c - o
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'),
+                        '^ | $', '', 'g') AS norm
+  FROM documents
+), wsrc AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS words
+  FROM staged
+), sized AS (
+  SELECT doc_id, words, len(words) AS n,
+         greatest(CAST(floor((len(words) - {o} + {step} - 1) / {step})
+                       AS BIGINT), 1) AS k
+  FROM wsrc WHERE len(words) > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(least({c}, n - i * {step}) AS BIGINT) AS n_chunk_words,
+       array_to_string(list_slice(words, i * {step} + 1, i * {step} + {c}), ' ')
+         AS chunk_text
+FROM sized, unnest(range(0, k)) AS t(i)
+"""
+
+
 def q_classify_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-linear (fastText-style) quality scoring
     (operators/classify.py): real hashing-trick plumbing, deterministic
@@ -1958,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed": q_sitemap_seed,
         "tfidf_top_terms": q_tfidf_top_terms,
         "classify_quality_docs": q_classify_quality_docs,
+        "chunk_docs": q_chunk_docs,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -2003,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seed": ORACLE_SITEMAP,
         "tfidf_top_terms": _oracle_tfidf(),
         "classify_quality_docs": _oracle_classify(),
+        "chunk_docs": _oracle_chunk(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),
