@@ -672,6 +672,102 @@ FROM rules
 """
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — the full training-data path in ONE
+    lazy plan: Gopher quality rules AND model score gate the corpus,
+    survivors get corpus-wide paragraph dedup with document reassembly,
+    rebuilt docs are chunked into 40/10 context windows, and chunks
+    are packed into 2000-word shards in (doc, chunk) order. Every
+    stage is an already-oracle-green operator; this query checks that
+    they COMPOSE — the DuckDB oracle chains the same five stages."""
+    from warcsum_spark.functions.quality import with_quality_rules
+    from warcsum_spark.operators.chunking import chunk_documents
+    from warcsum_spark.operators.classify import classify_quality
+    from warcsum_spark.operators.packing import pack_shards
+    from warcsum_spark.operators.para_dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = (
+        classify_quality(with_quality_rules(docs))
+        .filter(F.col("keep") & F.col("model_keep"))
+        .select("doc_id", "text")
+    )
+    rebuilt = dedup_paragraphs(gated).select("doc_id", "text")
+    chunks = chunk_documents(rebuilt, chunk_tokens=40, overlap=10)
+    keyed = chunks.withColumn(
+        "okey", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    packed = pack_shards(
+        keyed, "n_chunk_words", budget=2000, order_col="okey", bucket_size=100_000
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "n_chunk_words", "cum_before", "shard"
+    )
+
+
+def _oracle_training_pipeline() -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+    from warcsum_spark.functions.repetition import _NONBLANK_RE, PARA_SPLIT_RE
+
+    c, o = 40, 10
+    step = c - o
+    return f"""
+WITH qkeep AS (
+  SELECT doc_id FROM ({_oracle_quality_filter()}) q WHERE q.keep
+), mkeep AS (
+  SELECT doc_id FROM ({_oracle_classify()}) m WHERE m.model_keep
+), gated AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN qkeep USING (doc_id) JOIN mkeep USING (doc_id)
+), sp AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{PARA_SPLIT_RE}'),
+                     x -> regexp_matches(x, '{_NONBLANK_RE}')) AS paras
+  FROM gated
+), p AS (
+  SELECT doc_id, i - 1 AS para_idx, paras[i] AS para
+  FROM sp, unnest(range(1, len(paras) + 1)) AS t(i)
+), k AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM p
+), reb AS (
+  SELECT g.doc_id,
+         coalesce((SELECT string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+                   FROM k WHERE k.doc_id = g.doc_id AND rn = 1), '') AS text
+  FROM gated g
+), wsrc AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []
+              ELSE string_split(norm, ' ') END AS words
+  FROM (SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'),
+                              '^ | $', '', 'g') AS norm
+        FROM reb)
+), sized AS (
+  SELECT doc_id, words, len(words) AS n,
+         greatest(CAST(floor((len(words) - {o} + {step} - 1) / {step})
+                       AS BIGINT), 1) AS k
+  FROM wsrc WHERE len(words) > 0
+), chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         CAST(least({c}, n - i * {step}) AS BIGINT) AS n_chunk_words,
+         doc_id * 1000 + i AS okey
+  FROM sized, unnest(range(0, k)) AS t(i)
+), packed AS (
+  SELECT doc_id, chunk_id, n_chunk_words,
+         CAST(coalesce(sum(n_chunk_words) OVER (ORDER BY okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM chunks
+)
+SELECT doc_id, chunk_id, n_chunk_words, cum_before,
+       CAST(floor(cum_before / 2000.0) AS BIGINT) AS shard
+FROM packed
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/chunking.py): 40-word windows
     with 10-word overlap over the documents table (docs are ~50 words,
@@ -1999,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "classify_quality_docs": q_classify_quality_docs,
         "chunk_docs": q_chunk_docs,
+        "training_pipeline": q_training_pipeline,
         "stats_by_lang": q_stats_by_lang,
         "multimodal_features": q_multimodal_features,
         "sessionize_events": q_sessionize_events,
@@ -2045,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _oracle_tfidf(),
         "classify_quality_docs": _oracle_classify(),
         "chunk_docs": _oracle_chunk(),
+        "training_pipeline": _oracle_training_pipeline(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
         "sessionize_events": ORACLE_SESSIONS,
         "html_extract": _oracle_html_extract(),

@@ -45,6 +45,7 @@ HEADLINE = [
     # rounds stay comparable; the suite total grows by their cost
     "para_dedup_docs",
     "repetition_signals",
+    "training_pipeline",
 ]
 
 
