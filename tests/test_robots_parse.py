@@ -142,3 +142,27 @@ def test_crawl_delay_longer_than_window_gets_zero_budget(spark):
     assert budgets == {
         "slow.test": 0, "exact.test": 1, "fast.test": 24, "none.test": 10
     }
+
+
+def test_robots_sitemaps_extraction(spark):
+    from warcsum_spark.frontier.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: http://a.test/sitemap.xml\n"
+        "# comment line\n"
+        "  SITEMAP:\thttp://a.test/sm2.xml # trailing comment\n"
+        "Sitemap:\n"  # empty value -> dropped
+        "NotSitemap: http://a.test/no.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", None), ("c.test", "")],
+        "host string, body string",
+    )
+    rows = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()}
+    assert rows == {
+        ("a.test", "http://a.test/sitemap.xml"),
+        ("a.test", "http://a.test/sm2.xml"),
+    }
+    plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan

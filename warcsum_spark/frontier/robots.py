@@ -160,3 +160,24 @@ def robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.withColumn("_allowed", best["allow"]).filter(F.col("_allowed")).drop(
         "_allowed", "rules"
     )
+
+
+def robots_sitemaps(
+    fetched: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) — the ``Sitemap:`` lines of each robots.txt
+    body. Per RFC 9309 §2.3 these are NOT group-scoped (they apply
+    regardless of User-agent groups), so this is a pure JVM
+    ``regexp_extract_all`` over the raw body — no state machine, no
+    Python — feeding frontier/sitemap.py for seed expansion. Comments
+    (#...) and surrounding whitespace are stripped; field name is
+    case-insensitive per the RFC."""
+    pat = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)"
+    urls = F.regexp_extract_all(
+        F.col(body_col).cast("string"), F.lit(pat), F.lit(1)
+    )
+    return (
+        fetched.select(
+            F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+        ).filter(F.col("sitemap_url") != "")
+    )
