@@ -160,3 +160,31 @@ def test_array_tier_is_shuffle_free(spark):
     out = df.withColumns(line_repetition_measures(F.col("text")))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_kernel_equals_relational_top_tier(spark):
+    texts = CRAFTED + _random_docs()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r.asDict() for r in with_repetition_signals(df).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in with_repetition_signals(df, top_tier="relational").collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        for col, v in a[k].items():
+            assert _close(v, b[k][col]) if isinstance(v, float) else v == b[k][col], (
+                k, col, v, b[k][col],
+            )
+
+
+def test_kernel_battery_is_exchange_free(spark):
+    """With the top-tier kernel the WHOLE battery is map-only."""
+    df = spark.range(10).withColumn("text", F.lit("a b\na b"))
+    plan = (
+        with_repetition_signals(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.replace("Exchange roundrobin", "rr"), plan

@@ -49,6 +49,8 @@ the length rules in functions/quality.py are what reject it).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -261,31 +263,86 @@ def top_ngram_char_fracs(
     return pivoted
 
 
+def _top_ngram_kernel(ns: tuple[int, ...]):
+    """Arrow-batched per-row kernel for the top-n-gram character
+    fractions — the mode of a document's n-grams is a function of that
+    document ALONE, so the relational form (posexplode → two groupBys →
+    join back) pays a token-grain exchange for something a map-side
+    kernel computes locally. Tie-break matches the relational form and
+    the oracle exactly: among max-count n-grams, the lexicographically
+    LARGEST wins (np.unique returns ascending order; take the last
+    max-count candidate)."""
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(f"top_{n}gram_char_frac", T.DoubleType()) for n in ns
+    ]
+
+    @F.pandas_udf(T.StructType(fields))
+    def kernel(words: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {f.name: [] for f in fields}
+        for ws in words:
+            ws = list(ws) if ws is not None else []
+            wc = sum(len(w) for w in ws)
+            for n in ns:
+                name = f"top_{n}gram_char_frac"
+                if wc == 0 or len(ws) < n:
+                    cols[name].append(None)
+                    continue
+                grams = np.array(
+                    [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+                )
+                uniq, counts = np.unique(grams, return_counts=True)
+                top = counts.max()
+                mode = uniq[counts == top][-1]
+                cols[name].append(
+                    min(int(top) * (len(mode) - (n - 1)) / wc, 1.0)
+                )
+        return pd.DataFrame(cols)
+
+    return kernel
+
+
 def with_repetition_signals(
     df: DataFrame,
     doc_col: str = "doc_id",
     text_col: str = "text",
     bounds: dict | None = None,
     keep_col: str = "keep_repetition",
+    top_tier: str = "kernel",
 ) -> DataFrame:
     """Full battery: measured values + per-family rule booleans + the
     composite ``keep_repetition``. Null measures pass their rules (see
-    module docstring). Array-tier signals add no shuffle; the top-n-gram
-    join is the only exchange beyond the n-gram frequency aggregation."""
+    module docstring).
+
+    ``top_tier="kernel"`` (default) computes the top-n-gram fractions
+    with the Arrow per-row kernel — the WHOLE battery is then map-only,
+    zero exchanges. ``top_tier="relational"`` keeps the
+    posexplode/groupBy form (useful where Python workers are banned);
+    results are identical (equality is pinned in tests)."""
     from warcsum_spark.session import ensure_min_parallelism
 
     b = dict(DEFAULT_REPETITION_BOUNDS, **(bounds or {}))
     df = ensure_min_parallelism(df)  # unsplittable small source → 1 task
-    need_ns = tuple(
-        sorted(set(b["max_dup_ngram_frac"]) | set(b["max_top_ngram_char_frac"]))
-    )
+    ns = tuple(b["max_top_ngram_char_frac"])
+    if top_tier == "kernel":
+        need_ns = tuple(sorted(b["max_dup_ngram_frac"]))
+    else:
+        need_ns = tuple(sorted(set(b["max_dup_ngram_frac"]) | set(ns)))
     units = stage_repetition_units(df, text_col, need_ns)
     staged = units.withColumns(
         repetition_measures_staged(tuple(b["max_dup_ngram_frac"]))
-    ).drop(*[c for c in units.columns if c.startswith("_rep_")])
-    ns = tuple(b["max_top_ngram_char_frac"])
-    top = top_ngram_char_fracs(units, doc_col, text_col, ns)
-    staged = staged.join(top, on=doc_col, how="left")
+    )
+    if top_tier == "kernel":
+        staged = staged.withColumn("_top", _top_ngram_kernel(ns)(F.col("_rep_words")))
+        staged = staged.withColumns(
+            {f"top_{n}gram_char_frac": F.col(f"_top.top_{n}gram_char_frac") for n in ns}
+        ).drop("_top")
+        staged = staged.drop(*[c for c in staged.columns if c.startswith("_rep_")])
+    else:
+        staged = staged.drop(*[c for c in units.columns if c.startswith("_rep_")])
+        top = top_ngram_char_fracs(units, doc_col, text_col, ns)
+        staged = staged.join(top, on=doc_col, how="left")
 
     def ok(cond: Column) -> Column:
         return F.coalesce(cond, F.lit(True))
