@@ -614,10 +614,11 @@ def _oracle_quality_filter() -> str:
 WITH staged AS (
   SELECT doc_id, text,
          regexp_replace(regexp_replace(text, '{WS_CLASS}+', ' ', 'g'),
-                        '^ | $', '', 'g') AS norm
+                        '^ | $', '', 'g') AS norm,
+         regexp_replace(text, '\r\n?', chr(10), 'g') AS line_src
   FROM documents
 ), m AS (
-  SELECT doc_id, text, norm,
+  SELECT doc_id, text, norm, line_src,
          CASE WHEN norm = '' THEN 0 ELSE {occ('norm', ' ')} + 1 END AS n_words,
          {occ('text', chr(10))} + 1 AS n_lines,
          ' ' || lower(norm) || ' ' AS padded
@@ -632,9 +633,9 @@ WITH staged AS (
               ELSE ({occ('text', '#')} + {occ('text', '...')})
                    / CAST(n_words AS DOUBLE)
          END AS symbol_word_ratio,
-         {re_count('text', BULLET_LINE_RE)} / CAST(n_lines AS DOUBLE)
+         {re_count('line_src', BULLET_LINE_RE)} / CAST(n_lines AS DOUBLE)
            AS bullet_line_frac,
-         {re_count('text', ELLIPSIS_LINE_RE)} / CAST(n_lines AS DOUBLE)
+         {re_count('line_src', ELLIPSIS_LINE_RE)} / CAST(n_lines AS DOUBLE)
            AS ellipsis_line_frac,
          CASE WHEN n_words = 0 THEN NULL
               ELSE {re_count("' ' || norm", ALPHA_WORD_RE)}
@@ -694,8 +695,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rebuilt = dedup_paragraphs(gated).select("doc_id", "text")
     chunks = chunk_documents(rebuilt, chunk_tokens=40, overlap=10)
+    # 10^6 chunk headroom per doc: at 40/10 windows that is a 3×10^7-word
+    # document before two docs could collide on the pack-order key
     keyed = chunks.withColumn(
-        "okey", F.col("doc_id") * 1000 + F.col("chunk_id")
+        "okey", F.col("doc_id") * 1_000_000 + F.col("chunk_id")
     )
     packed = pack_shards(
         keyed, "n_chunk_words", budget=2000, order_col="okey", bucket_size=100_000
@@ -753,7 +756,7 @@ WITH qkeep AS (
 ), chunks AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_id,
          CAST(least({c}, n - i * {step}) AS BIGINT) AS n_chunk_words,
-         doc_id * 1000 + i AS okey
+         doc_id * 1000000 + i AS okey
   FROM sized, unnest(range(0, k)) AS t(i)
 ), packed AS (
   SELECT doc_id, chunk_id, n_chunk_words,

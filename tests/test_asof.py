@@ -94,3 +94,19 @@ def test_single_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tolerance_respects_fractional_seconds(spark):
+    """Gap 10.9 s with tolerance 10 must NOT match (long-cast flooring
+    used to compare 10 <= 10 and keep it)."""
+    l = spark.createDataFrame(
+        [("a", _ts("2026-01-01 00:00:10.900"))], "k string, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [("a", _ts("2026-01-01 00:00:00.000"), 5.0)],
+        "k string, ts timestamp, v double",
+    )
+    drop = asof_join(l, r, on="k", right_cols=["v"], tolerance_sec=10)
+    keep = asof_join(l, r, on="k", right_cols=["v"], tolerance_sec=11)
+    assert drop.collect()[0]["v"] is None
+    assert keep.collect()[0]["v"] == 5.0

@@ -87,3 +87,22 @@ def test_join_mode_is_broadcast_hash_join(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_null_host_survives_both_modes(spark):
+    """A null host matches no blocklist entry — BOTH modes must keep the
+    row (inline mode's filter(~NULL) used to silently drop it)."""
+    df = spark.createDataFrame(
+        [("http://ok.test/x", "ok.test"), ("mailto:x@y", None)],
+        "url string, host string",
+    )
+    inline = blocklist_gate(df, ["blocked.test"])
+    joined = blocklist_gate(
+        df, spark.createDataFrame([("blocked.test",)], "domain string")
+    )
+    assert _survivors(inline) == _survivors(joined) == {
+        "http://ok.test/x",
+        "mailto:x@y",
+    }
+    # and an empty inline blocklist drops nothing
+    assert _survivors(blocklist_gate(df, [])) == {"http://ok.test/x", "mailto:x@y"}

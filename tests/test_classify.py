@@ -71,3 +71,13 @@ def test_plan_is_map_only_jvm(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_null_text_scores_like_empty(spark):
+    import math
+
+    df = spark.createDataFrame([(0, None), (1, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classify_quality(df).collect()}
+    want = round(1 / (1 + math.exp(0.0)), 6)  # sigmoid(0) = 0.5
+    assert rows[0]["model_score"] == rows[1]["model_score"] == want
+    assert rows[0]["model_keep"] is True

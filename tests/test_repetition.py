@@ -188,3 +188,17 @@ def test_kernel_battery_is_exchange_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan.replace("Exchange roundrobin", "rr"), plan
+
+
+def test_top_tier_restages_on_mismatched_ns(spark):
+    """A frame staged with a different ns set must be restaged, not
+    crash on missing _rep_g{n} columns."""
+    from warcsum_spark.functions.repetition import (
+        stage_repetition_units,
+        top_ngram_char_fracs,
+    )
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    staged_5_10 = stage_repetition_units(df, ns=(5, 10))
+    out = top_ngram_char_fracs(staged_5_10, ns=(2, 3, 4)).collect()
+    assert len(out) == 1 and out[0]["top_2gram_char_frac"] is not None

@@ -77,3 +77,16 @@ def test_iceberg_sql_shapes():
 def test_iceberg_store_requires_catalog(spark):
     with pytest.raises(RuntimeError, match="no Iceberg catalog"):
         IcebergStateStore(spark, "nonexistent_catalog", "crawl")
+
+
+def test_run_crawl_commits_the_tail_round(spark, tmp_path):
+    """n_rounds not a multiple of checkpoint_every: the final round must
+    still land in the store, or a resume would silently replay it."""
+    (_, _, _, _, seeds_df, lg_df, pol_df, robots_df) = _fixture_dfs(spark)
+    store = ParquetDirectoryStore(spark, str(tmp_path / "ckpt2"))
+    state = init_frontier(spark, seeds_df)
+    run_crawl(
+        spark, store, state, lg_df, n_rounds=3, checkpoint_every=2,
+        robots=robots_df, politeness=pol_df,
+    )
+    assert store.newest_round() == 3

@@ -240,3 +240,17 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         extract_features(media, dim=8, use_real_codec=True).collect()
+
+
+def test_cosine_batch_one_sided_null_scores_null(spark):
+    """One null vector in a pair must yield a null score per the
+    contract — not a batch-killing length-mismatch ValueError."""
+    from warcsum_spark.operators.similarity import cosine_batch
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], [1.0, 2.0]), (1, [3.0, 4.0], None), (2, None, None)],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r["id"]: r["c"] for r in df.select("id", cosine_batch("a", "b").alias("c")).collect()}
+    assert abs(rows[0] - 1.0) < 1e-12
+    assert rows[1] is None and rows[2] is None

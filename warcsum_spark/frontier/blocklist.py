@@ -79,4 +79,7 @@ def blocklist_gate(
         )
         return out.join(matched, url_col, "left_anti")
     domains = F.array(*[F.lit(d) for d in blocked_domains])
-    return out.filter(~F.arrays_overlap(cands, domains))
+    # coalesce: a null host yields a null overlap, and filter(~NULL)
+    # would silently drop the row — join mode keeps null-host rows (they
+    # match no blocklist entry), so inline mode must too
+    return out.filter(~F.coalesce(F.arrays_overlap(cands, domains), F.lit(False)))

@@ -74,6 +74,12 @@ def quality_measures(text: Column) -> dict[str, Column]:
         .otherwise(_count_occurrences(norm, " ") + 1)
         .cast("long")
     )
+    # CR-normalize the LINE-rule source: (?m) ^/$ anchor semantics differ
+    # between java.util.regex (terminators include \r\n and lone \r) and
+    # RE2 (\n only, the DuckDB oracle) — mapping \r\n and \r to \n first
+    # makes both engines see identical line boundaries on CRLF/old-Mac
+    # documents. \s itself was already avoided for the same reason.
+    line_src = F.regexp_replace(text, "\r\n?", "\n")
     n_lines = (_count_occurrences(text, "\n") + 1).cast("long")
     nwd = F.when(n_words == 0, None).otherwise(n_words.cast("double"))
     nld = n_lines.cast("double")
@@ -85,8 +91,8 @@ def quality_measures(text: Column) -> dict[str, Column]:
             _count_occurrences(text, "#") + _count_occurrences(text, "...")
         )
         / nwd,
-        "bullet_line_frac": F.regexp_count(text, F.lit(BULLET_LINE_RE)) / nld,
-        "ellipsis_line_frac": F.regexp_count(text, F.lit(ELLIPSIS_LINE_RE)) / nld,
+        "bullet_line_frac": F.regexp_count(line_src, F.lit(BULLET_LINE_RE)) / nld,
+        "ellipsis_line_frac": F.regexp_count(line_src, F.lit(ELLIPSIS_LINE_RE)) / nld,
         "alpha_word_frac": (
             F.regexp_count(F.concat(F.lit(" "), norm), F.lit(ALPHA_WORD_RE)) / nwd
         ),

@@ -210,8 +210,15 @@ def top_ngram_char_fracs(
     Accepts a frame already staged by stage_repetition_units() (the
     ``_rep_*`` columns are reused); otherwise stages internally.
     """
-    if "_rep_words" not in df.columns:
-        df = stage_repetition_units(df, text_col)
+    needed = {"_rep_words", *(f"_rep_g{n}" for n in ns)}
+    if not needed <= set(df.columns):
+        # restage from scratch: a frame staged with a DIFFERENT ns set
+        # has _rep_words but not every _rep_g{n} this call needs
+        df = stage_repetition_units(
+            df.drop(*[c for c in df.columns if c.startswith("_rep_")]),
+            text_col,
+            tuple(ns),
+        )
     word_chars = F.aggregate(
         F.col("_rep_words"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )

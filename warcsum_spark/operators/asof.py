@@ -96,9 +96,11 @@ def asof_join(
         "_asof", F.last("_r", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)
     if tolerance_sec is not None:
+        # cast to double, not long: long would FLOOR both timestamps and
+        # misjudge fractional-second gaps on either side of the bound
         in_range = (
-            F.col("_t").cast("long") - F.col("_asof._rt").cast("long")
-        ) <= tolerance_sec
+            F.col("_t").cast("double") - F.col("_asof._rt").cast("double")
+        ) <= float(tolerance_sec)
         carried = carried.withColumn(
             "_asof", F.when(in_range, F.col("_asof"))
         )

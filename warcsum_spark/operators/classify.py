@@ -82,7 +82,13 @@ def classify_quality(
     from warcsum_spark.functions.repetition import _norm_words
 
     weights = weights if weights is not None else stub_weights(seed=seed)
-    staged = df.withColumn("_cls_words", _norm_words(F.lower(F.col(text_col))))
+    # null text scores like empty text (sigmoid(intercept)) — matching
+    # the SQL oracle's coalesce(list_sum(NULL), 0) — rather than
+    # propagating null through score and keep
+    staged = df.withColumn(
+        "_cls_words",
+        _norm_words(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+    )
     score = F.round(
         hashed_linear_score(F.col("_cls_words"), weights, intercept, seed), 6
     )

@@ -83,16 +83,34 @@ def cosine_batch(a: pa.Array, b: pa.Array) -> pa.Array:
     n = len(la)
     if n == 0:
         return pa.array([], type=pa.float64())
-    if not np.array_equal(la, lb):
-        raise ValueError("cosine_batch: per-row vector lengths differ")
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
     if isinstance(b, pa.ChunkedArray):
         b = b.combine_chunks()
     null_mask = np.asarray(a.is_null()) | np.asarray(b.is_null())
+    # a null slot's segment length is 0, so validate lengths only where
+    # both sides are present — a one-sided null must yield the contract's
+    # null score, not a batch-killing ValueError
+    if not np.array_equal(la[~null_mask], lb[~null_mask]):
+        raise ValueError("cosine_batch: per-row vector lengths differ")
+    if null_mask.any():
+        # re-align the flats: drop the PRESENT side's elements for rows
+        # whose other side is null, so both sides have identical segment
+        # shapes (null rows become empty segments, masked null below)
+        fa = fa[np.repeat(~null_mask, la)]
+        fb = fb[np.repeat(~null_mask, lb)]
+        la = np.where(null_mask, 0, la)
+        lb = la
+        sa = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(la[:-1], out=sa[1:])
+        sb = sa
     total = len(fa)
     dim = la[0] if n else 0
-    if n and dim > 0 and np.all(la == dim):
+    if n and dim > 0 and np.all(la == dim) and np.all(lb == dim):
+        # BOTH sides must be uniform: a null slot has segment length 0,
+        # and reshaping the other side around it corrupts the batch —
+        # null-bearing batches take the ragged path, which masks them
         # uniform-dim fast path (the embedding-table norm): contiguous
         # reshape + axis sums, ~3× over segmented reduceat at dim 64
         A = fa.reshape(n, dim)
