@@ -811,6 +811,59 @@ FROM sized, unnest(range(0, k)) AS t(i)
 """
 
 
+def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (functions/scripts.py): per-script char
+    counts, scripted fraction, dominant-script guess — explicit
+    code-point ranges so java.util.regex and RE2 agree (the \\p{script}
+    property syntaxes differ between them). The zh documents make the
+    cjk/latin split discriminating."""
+    from warcsum_spark.functions.scripts import with_script_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_script_profile(docs)
+    return out.select(
+        "doc_id",
+        "script_latin",
+        "script_cjk",
+        "script_cyrillic",
+        "script_arabic",
+        "script_char_frac",
+        "script_guess",
+    )
+
+
+def _oracle_script_profile() -> str:
+    from warcsum_spark.functions.scripts import SCRIPT_RANGES
+
+    names = sorted(SCRIPT_RANGES)
+    count_cols = ",\n         ".join(
+        f"CAST(coalesce(len(regexp_extract_all(text, '{SCRIPT_RANGES[n]}')), 0)"
+        f" AS BIGINT) AS c_{n}"
+        for n in names
+    )
+    total = " + ".join(f"c_{n}" for n in names)
+    m = f"greatest({', '.join(f'c_{n}' for n in names)})"
+    guess = " ".join(f"WHEN c_{n} = m THEN '{n}'" for n in names)
+    return f"""
+WITH counts AS (
+  SELECT doc_id, text,
+         {count_cols}
+  FROM documents
+), agg AS (
+  SELECT *, ({total}) AS tot, {m} AS m FROM counts
+)
+SELECT doc_id,
+       c_latin AS script_latin,
+       c_cjk AS script_cjk,
+       c_cyrillic AS script_cyrillic,
+       c_arabic AS script_arabic,
+       coalesce(round(tot / CAST(greatest(length(text), 1) AS DOUBLE), 6), 0.0)
+         AS script_char_frac,
+       CASE WHEN m <= 0 THEN 'und' ELSE (CASE {guess} END) END AS script_guess
+FROM agg
+"""
+
+
 def q_classify_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-linear (fastText-style) quality scoring
     (operators/classify.py): real hashing-trick plumbing, deterministic
@@ -2097,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed": q_sitemap_seed,
         "tfidf_top_terms": q_tfidf_top_terms,
         "classify_quality_docs": q_classify_quality_docs,
+        "script_profile_docs": q_script_profile_docs,
         "chunk_docs": q_chunk_docs,
         "training_pipeline": q_training_pipeline,
         "stats_by_lang": q_stats_by_lang,
@@ -2144,6 +2198,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seed": ORACLE_SITEMAP,
         "tfidf_top_terms": _oracle_tfidf(),
         "classify_quality_docs": _oracle_classify(),
+        "script_profile_docs": _oracle_script_profile(),
         "chunk_docs": _oracle_chunk(),
         "training_pipeline": _oracle_training_pipeline(),
         "stats_by_lang": ORACLE_STATS_BY_LANG,
