@@ -147,3 +147,50 @@ def test_windowed_counts_watermark_drops_late_and_withholds_open(spark, tmp_path
     for k, v in got.items():
         if k != ("10:01", "h1"):
             assert batch[k] == v
+
+
+def test_stream_quality_gate_equals_batch(spark, tmp_path):
+    """The round-3 gate battery (rules + model + script) is stateless
+    per row, so the streaming lift must emit exactly the rows the batch
+    form keeps over the same input."""
+    from warcsum_spark.streaming.quality_stream import (
+        gated_columns,
+        stream_quality_gate,
+    )
+
+    indir = tmp_path / "qp_in"
+    indir.mkdir()
+    write_web_pages_parquet(str(indir / "p1.parquet"), 120, seed=3)
+    write_web_pages_parquet(str(indir / "p2.parquet"), 120, seed=4)
+
+    # fixture prose has no stopwords and '&' tokens — tune the bounds so
+    # the gate discriminates on what varies here (document length)
+    bounds = {
+        "min_words": 33,
+        "min_stopword_hits": 0,
+        "min_alpha_word_frac": 0.5,
+    }
+    out = str(tmp_path / "qp_out")
+    q = (
+        stream_quality_gate(spark, str(indir), max_files_per_trigger=1, bounds=bounds)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "qp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = gated_columns(spark.read.parquet(str(indir)), bounds=bounds)
+    want = {
+        (r["url"], round(r["model_score"], 6))
+        for r in batch.filter(F.col("gate_keep")).collect()
+    }
+    got_df = spark.read.parquet(out)
+    got = {
+        (r["url"], round(r["model_score"], 6))
+        for r in got_df.collect()
+    }
+    assert got == want
+    assert 0 < len(got) < 240  # the gate actually discriminates
