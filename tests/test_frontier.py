@@ -338,3 +338,47 @@ def test_url_host_canonical_null_on_schemeless_garbage(spark):
     )
     got = [r["h"] for r in df.select(url_host_canonical(F.col("u")).alias("h")).collect()]
     assert got == [None, None, None, None, "ok.test"]
+
+
+@pytest.mark.parametrize("inline", [True, False], ids=["inline", "join"])
+def test_crawl_matches_simulator_with_blocklist(spark, inline):
+    """Crawl equivalence with the UT1-style blocklist gate active, in
+    both scale modes (inline array literal / broadcast-join DataFrame).
+    'test' in the list checks the bare-TLD rule: blocking a TLD suffix
+    must block nothing (only an exact single-label host match would)."""
+    (seeds, link_graph, budgets, robots, seeds_df, lg_df, pol_df, robots_df) = _fixture_dfs(spark)
+    blocked = {"site3.test", "test"}
+    patterns = (r"/p/7$",)
+    sim = simulate_crawl(
+        seeds, link_graph, budgets, robots, rounds=4,
+        blocked_domains=blocked, block_patterns=list(patterns),
+    )
+    # the gate must bite on this fixture, or the test proves nothing
+    assert any("site3.test" in u or u.endswith("/p/7") for u in sim_all_pending(seeds, link_graph))
+    assert not any("//site3.test/" in u or u.endswith("/p/7") for u in sim.seen)
+    assert sim.seen
+
+    bl = (
+        sorted(blocked)
+        if inline
+        else spark.createDataFrame([(d,) for d in sorted(blocked)], "domain string")
+    )
+    state = init_frontier(spark, seeds_df)
+    for rnd in range(4):
+        state, scheduled = frontier_round(
+            spark, state, lg_df,
+            robots=robots_df, politeness=pol_df,
+            blocklist=bl, block_patterns=patterns,
+        )
+        assert scheduled_order(scheduled) == sim.scheduled_per_round[rnd], f"round {rnd}"
+    got_seen = {r["url"] for r in state.seen.collect()}
+    assert got_seen == sim.seen
+
+
+def sim_all_pending(seeds, link_graph):
+    """Every URL the fixture web can ever surface (seeds + all targets)."""
+    urls = {oracle_canon(u) for u, _ in seeds}
+    for outs in link_graph.values():
+        urls.update(filter(None, (oracle_canon(o) for o in outs)))
+    urls.discard(None)
+    return urls

@@ -112,9 +112,29 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
         parts.getItem(0).alias("url"),
         F.coalesce(parts.getItem(1).cast("double"), F.lit(1.0)).alias("priority"),
     )
+    if args.sitemaps:
+        # seed-source hook: sitemap bodies (parquet: sitemap_url, body)
+        # become extra (url, priority) seed rows; init_frontier's
+        # canonicalize+max-priority collapse merges them with the text seeds
+        from warcsum_spark.frontier.sitemap import sitemap_seeds
+
+        seeds = seeds.unionByName(
+            sitemap_seeds(spark.read.parquet(args.sitemaps))
+        )
     link_graph = spark.read.parquet(args.link_graph)
     robots = spark.read.parquet(args.robots) if args.robots else None
     politeness = spark.read.parquet(args.politeness) if args.politeness else None
+    blocklist = None
+    if args.blocklist:
+        # small text blocklists ride inline (driver literal → zero-join
+        # JVM gate); corpus-sized lists should arrive as a DataFrame via
+        # the library API instead
+        with open(args.blocklist, encoding="utf-8") as fh:
+            blocklist = [
+                line.strip()
+                for line in fh
+                if line.strip() and not line.lstrip().startswith("#")
+            ]
 
     state = init_frontier(spark, seeds)
     # persistence goes through the StateStore seam: swap in
@@ -133,21 +153,29 @@ def _cmd_crawl(args: argparse.Namespace) -> int:
             link_graph,
             robots=robots,
             politeness=politeness,
+            blocklist=blocklist,
+            block_patterns=tuple(args.block_pattern or ()),
             default_budget=args.budget,
             use_bloom=use_bloom,
             salt_buckets=args.salt_buckets,
         )
-        order = scheduled_order(scheduled)
         if args.output == "-":
+            # stdout mode is explicitly small-output: the driver collect
+            # lives ONLY on this branch
+            order = scheduled_order(scheduled)
             for u in order:
                 print(f"{rnd} {u}")
+            n_scheduled = len(order)
         else:
             scheduled.select("host", "host_rank", "url").write.mode(
                 "overwrite"
             ).parquet(f"{args.output}/scheduled_round_{rnd:06d}")
+            # metrics count over the already-localCheckpointed frame —
+            # no rows cross to the driver in parquet mode
+            n_scheduled = scheduled.count()
         if store is not None:
-            store.commit_round(state, metrics={"scheduled": len(order)})
-        summary.append({"round": rnd, "scheduled": len(order)})
+            store.commit_round(state, metrics={"scheduled": n_scheduled})
+        summary.append({"round": rnd, "scheduled": n_scheduled})
     print(json.dumps({"rounds": summary}), file=sys.stderr)
     return 0
 
@@ -206,6 +234,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seeds", required=True, help="text file: url [priority]")
     sp.add_argument("--link-graph", required=True, help="parquet (url, outlinks)")
     sp.add_argument("--robots", default=None, help="parquet (host, rules)")
+    sp.add_argument(
+        "--sitemaps", default=None,
+        help="parquet (sitemap_url, body): extra seeds via sitemap parse",
+    )
+    sp.add_argument(
+        "--blocklist", default=None,
+        help="text file of blocked domains (one per line, # comments)",
+    )
+    sp.add_argument(
+        "--block-pattern", action="append", default=[],
+        help="URL regex to block (repeatable)",
+    )
     sp.add_argument("--politeness", default=None, help="parquet (host, budget)")
     sp.add_argument("--rounds", type=int, default=1)
     sp.add_argument("--budget", type=int, default=2)

@@ -78,6 +78,8 @@ def blocklist_gate(
             .distinct()
         )
         return out.join(matched, url_col, "left_anti")
+    if not blocked_domains:  # empty inline list: nothing to gate on
+        return out
     domains = F.array(*[F.lit(d) for d in blocked_domains])
     # coalesce: a null host yields a null overlap, and filter(~NULL)
     # would silently drop the row — join mode keeps null-host rows (they

@@ -95,3 +95,26 @@ def sitemap_index_children(
         F.col(source_col), F.explode(blocks).alias("_block")
     ).select(source_col, _child(F.col("_block"), "loc").alias("child_url"))
     return out.filter(F.col("child_url").isNotNull())
+
+
+def sitemap_seeds(
+    df: DataFrame,
+    body_col: str = "body",
+    source_col: str = "sitemap_url",
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """(url, priority) seed rows for ``init_frontier`` — the seed-source
+    hook that plugs sitemap bodies into the crawl loop. An absent or
+    junk ``<priority>`` takes the sitemaps.org protocol default (0.5);
+    the same ``<loc>`` appearing in several sitemaps collapses to its
+    max priority (init_frontier re-applies the same set semantics after
+    canonicalization, so pre-collapsing here just slims the union)."""
+    entries = parse_sitemap(df, body_col=body_col, source_col=source_col)
+    return (
+        entries.select(
+            "url",
+            F.coalesce("priority", F.lit(float(default_priority))).alias("priority"),
+        )
+        .groupBy("url")
+        .agg(F.max("priority").alias("priority"))
+    )

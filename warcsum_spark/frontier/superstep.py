@@ -71,6 +71,8 @@ def frontier_round(
     link_graph,
     robots: DataFrame | None = None,
     politeness: DataFrame | None = None,
+    blocklist=None,  # Sequence[str] (inline literal) | DataFrame(domain)
+    block_patterns: tuple[str, ...] = (),
     default_budget: int = 2,
     depth_decay: float = 0.5,
     use_bloom: bool | str = False,  # False | True (bloom) | "cuckoo"
@@ -106,6 +108,18 @@ def frontier_round(
         if use_bloom:
             filters = build_seen_filters(state.seen, n_partitions=bloom_partitions)
         candidates = filter_unseen(pending, state.seen, filters, bloom_partitions)
+    if blocklist is not None or block_patterns:
+        # UT1-style pre-fetch gate between "discovered" and "scheduled":
+        # blocked URLs are never scheduled, but they stay pending (and
+        # keep consuming nothing) rather than entering the seen set —
+        # un-blocking a domain on a later round makes them schedulable
+        from warcsum_spark.frontier.blocklist import blocklist_gate
+
+        candidates = blocklist_gate(
+            candidates,
+            [] if blocklist is None else blocklist,
+            url_patterns=block_patterns,
+        )
     if robots is not None:
         candidates = robots_allowed(candidates, robots)
     scheduled = schedule_per_host(

@@ -423,6 +423,29 @@ def robots_allows(rules: list[tuple[bool, str]], path: str) -> bool:
     return best_allow
 
 
+def _parent_domains(host: str) -> list[str]:
+    """Oracle twin of frontier/blocklist.parent_domains: every suffix
+    domain except the bare TLD, the host itself first; single-label
+    hosts expand to just themselves."""
+    labels = host.split(".")
+    if len(labels) <= 1:
+        return [host]
+    return [".".join(labels[i:]) for i in range(len(labels) - 1)]
+
+
+def _blocked(url: str, blocked_domains: set[str], patterns: list) -> bool:
+    import re
+
+    for p in patterns:
+        if re.search(p, url):
+            return True
+    if blocked_domains:
+        host = url_host(url)
+        if any(d in blocked_domains for d in _parent_domains(host)):
+            return True
+    return False
+
+
 def simulate_crawl(
     seeds: list[tuple[str, float]],
     link_graph: dict[str, list[str]],
@@ -431,6 +454,8 @@ def simulate_crawl(
     rounds: int,
     default_budget: int = 2,
     depth_decay: float = 0.5,
+    blocked_domains: set[str] | None = None,
+    block_patterns: list[str] = [],
 ) -> FrontierSimResult:
     """Deterministic frontier oracle.
 
@@ -456,6 +481,11 @@ def simulate_crawl(
         by_host: dict[str, list[tuple[float, str]]] = {}
         for url, pri in pending.items():
             if url in res.seen:
+                continue
+            # blocklist gate sits between "discovered" and "scheduled":
+            # blocked URLs are never scheduled but stay pending (same
+            # placement as frontier_round's blocklist_gate call)
+            if _blocked(url, blocked_domains or set(), list(block_patterns)):
                 continue
             host = url_host(url)
             sp = urlsplit(url)
