@@ -50,7 +50,8 @@ the length rules in functions/quality.py are what reject it).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -271,41 +272,166 @@ def top_ngram_char_fracs(
 
 
 def _top_ngram_kernel(ns: tuple[int, ...]):
-    """Arrow-batched per-row kernel for the top-n-gram character
-    fractions — the mode of a document's n-grams is a function of that
-    document ALONE, so the relational form (posexplode → two groupBys →
-    join back) pays a token-grain exchange for something a map-side
-    kernel computes locally. Tie-break matches the relational form and
-    the oracle exactly: among max-count n-grams, the lexicographically
-    LARGEST wins (np.unique returns ascending order; take the last
-    max-count candidate)."""
+    """Arrow-batched kernel for the top-n-gram character fractions —
+    the mode of a document's n-grams is a function of that document
+    ALONE, so the relational form (posexplode → two groupBys → join
+    back) pays a token-grain exchange for something a map-side kernel
+    computes locally.
+
+    Interior is flattened-buffer vectorized (the dedup.py minhash-kernel
+    pattern) and never materializes an n-gram string: the words
+    ListArray is flattened ONCE and dictionary-encoded (pyarrow C), the
+    distinct-token dictionary is ranked by string order, and each n's
+    per-document modes come from ONE integer sort of packed
+    (doc, rank...) keys plus a numpy run-length scan — no per-document
+    Python lists, no per-document ``np.unique``, no batch-wide string
+    sort or join.
+
+    Correct joined-string order from token ranks: the mode tie-break
+    (and ``np.unique``'s order in the oracle) is on the space-JOINED
+    n-gram string. Tokens contain no whitespace (they come from a
+    whitespace split), so ``t + " "`` is a prefix of ``s + " "`` only
+    when ``t == s`` — comparing joined strings position-wise is decided
+    entirely by the first differing token, compared WITH the trailing
+    separator. Hence non-final positions use the rank of ``t + " "``
+    and the final position the bare rank of ``t`` (the two orders
+    differ exactly when one token extends another with a control char
+    below 0x20, which the oracle's string compare resolves the other
+    way). Key equality ⟺ identical token-id sequence in the same doc,
+    so run grouping is exact, not hash-based. Tie-break matches the
+    relational form and the oracle exactly: among max-count n-grams the
+    lexicographically LARGEST wins — the LAST run in ascending order,
+    taken via the composite count·M+run-index max."""
     from pyspark.sql import types as T
 
     fields = [
         T.StructField(f"top_{n}gram_char_frac", T.DoubleType()) for n in ns
     ]
 
-    @F.pandas_udf(T.StructType(fields))
-    def kernel(words: pd.Series) -> pd.DataFrame:
-        cols: dict[str, list] = {f.name: [] for f in fields}
-        for ws in words:
-            ws = list(ws) if ws is not None else []
-            wc = sum(len(w) for w in ws)
-            for n in ns:
-                name = f"top_{n}gram_char_frac"
-                if wc == 0 or len(ws) < n:
-                    cols[name].append(None)
-                    continue
-                grams = np.array(
-                    [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    @F.arrow_udf(T.StructType(fields))
+    def kernel(words: pa.Array) -> pa.Array:
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        nrows = len(words)
+        row_off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_off = row_off - row_off[0]
+        row_lens = np.diff(row_off)
+        null_rows = np.asarray(words.is_null())
+        row_lens = np.where(null_rows, 0, row_lens)
+        tok = words.flatten()
+        # per-row word chars (Python len == code points == utf8_length)
+        tok_chars = pc.utf8_length(tok).to_numpy(zero_copy_only=False).astype(np.int64)
+        ccum = np.concatenate([[0], np.cumsum(tok_chars)])
+        wc = ccum[row_off[1:]] - ccum[row_off[:-1]]
+        wc = np.where(null_rows, 0, wc)
+
+        # shared across ns: token ids + string-order ranks of the
+        # (small) distinct-token dictionary, sep-augmented and bare
+        n_tok = len(tok)
+        if n_tok:
+            enc = tok.dictionary_encode()
+            ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary
+            u = len(vocab)
+            r_bare = np.empty(u, dtype=np.int64)
+            r_bare[pc.sort_indices(vocab).to_numpy().astype(np.int64)] = np.arange(u)
+            r_sp = np.empty(u, dtype=np.int64)
+            vocab_sp = pc.binary_join_element_wise(vocab, "", " ")
+            r_sp[pc.sort_indices(vocab_sp).to_numpy().astype(np.int64)] = np.arange(u)
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            u = 0
+        rank_bits = max(1, (u - 1).bit_length() if u > 1 else 1)
+        seg_bits = max(1, (nrows - 1).bit_length() if nrows > 1 else 1)
+
+        cols = []
+        for n in ns:
+            cnt = np.maximum(row_lens - (n - 1), 0)
+            total = int(cnt.sum())
+            frac = np.full(nrows, np.nan)
+            if total:
+                seg = np.repeat(np.arange(nrows, dtype=np.int64), cnt)
+                first = np.cumsum(cnt) - cnt
+                pos = np.arange(total, dtype=np.int64) - np.repeat(first, cnt)
+                idx0 = np.repeat(row_off[:-1], cnt) + pos
+                keys = [
+                    (r_sp if j < n - 1 else r_bare)[ids[idx0 + j]]
+                    for j in range(n)
+                ]
+                # pack (seg, k0..k_{n-1}) most-significant-first into as
+                # few int64 words as fit: 1 word → one sort, 2 words →
+                # two-key lexsort; only a pathological vocab×n falls to
+                # the full multi-key lexsort
+                sort_fields = [seg] + keys
+                widths = [seg_bits] + [rank_bits] * n
+
+                def _pack(fs, ws):
+                    out = np.zeros(total, dtype=np.int64)
+                    shift = sum(ws)
+                    for f_, w_ in zip(fs, ws):
+                        shift -= w_
+                        out |= f_ << np.int64(shift)
+                    return out
+
+                m, acc = 0, 0
+                while m < len(sort_fields) and acc + widths[m] <= 63:
+                    acc += widths[m]
+                    m += 1
+                if m == len(sort_fields):
+                    packed = _pack(sort_fields, widths)
+                    order = np.argsort(packed, kind="stable")
+                    ps = packed[order]
+                    same = ps[1:] == ps[:-1]
+                elif sum(widths[m:]) <= 63:
+                    hi = _pack(sort_fields[:m], widths[:m])
+                    lo = _pack(sort_fields[m:], widths[m:])
+                    order = np.lexsort((lo, hi))
+                    hs, ls = hi[order], lo[order]
+                    same = (hs[1:] == hs[:-1]) & (ls[1:] == ls[:-1])
+                else:
+                    order = np.lexsort(tuple(reversed(keys)) + (seg,))
+                    same = (
+                        np.ones(total - 1, dtype=bool)
+                        if total > 1
+                        else np.empty(0, bool)
+                    )
+                    for arr in sort_fields:
+                        s_ = arr[order]
+                        same &= s_[1:] == s_[:-1]
+                seg_s = seg[order]
+                new_run = np.empty(total, dtype=bool)
+                new_run[0] = True
+                if total > 1:
+                    new_run[1:] = ~same
+                run_start = np.flatnonzero(new_run)
+                run_len = np.diff(np.append(run_start, total))
+                run_seg = seg_s[run_start]
+                n_runs = len(run_start)
+                # max over (count, run-order) per segment in one reduceat:
+                # later runs hold lexicographically larger n-grams, so the
+                # composite key's index term IS the tie-break
+                key = run_len * np.int64(n_runs + 1) + np.arange(
+                    n_runs, dtype=np.int64
                 )
-                uniq, counts = np.unique(grams, return_counts=True)
-                top = counts.max()
-                mode = uniq[counts == top][-1]
-                cols[name].append(
-                    min(int(top) * (len(mode) - (n - 1)) / wc, 1.0)
+                seg_first = np.flatnonzero(
+                    np.r_[True, run_seg[1:] != run_seg[:-1]]
                 )
-        return pd.DataFrame(cols)
+                best = np.maximum.reduceat(key, seg_first)
+                best_run = best % np.int64(n_runs + 1)
+                top_cnt = best // np.int64(n_runs + 1)
+                # mode word chars = token-char sum over any occurrence of
+                # the winning run's n-gram (== len(joined) - (n-1))
+                mode_i0 = idx0[order[run_start[best_run]]]
+                mode_chars = ccum[mode_i0 + n] - ccum[mode_i0]
+                rows = run_seg[seg_first]
+                wcr = wc[rows]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    f = np.minimum(top_cnt * mode_chars / wcr, 1.0)
+                frac[rows] = np.where(wcr == 0, np.nan, f)
+            # null where no n-gram exists or the document has no chars
+            frac[(cnt == 0) | (wc == 0)] = np.nan
+            cols.append(pa.array(frac, type=pa.float64(), from_pandas=True))
+        return pa.StructArray.from_arrays(cols, names=[f.name for f in fields])
 
     return kernel
 
