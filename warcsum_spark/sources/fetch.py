@@ -83,7 +83,11 @@ class HttpRangeFetcher:
     def _fetch_one(self, url, mirror_urls, byte_range=None):
         import urllib.request
 
-        candidates = list(mirror_urls or []) or [url]
+        # mirrors arrive as a numpy array through the Arrow batch — no
+        # truthiness on it (ambiguous); explicit None/empty handling
+        candidates = [url] if mirror_urls is None else list(mirror_urls)
+        if not candidates:
+            candidates = [url]
         last_err = None
         for mirror in candidates:
             try:
