@@ -90,3 +90,145 @@ def test_run_crawl_commits_the_tail_round(spark, tmp_path):
         robots=robots_df, politeness=pol_df,
     )
     assert store.newest_round() == 3
+
+
+def test_iceberg_time_travel_sql_shapes():
+    """Every statement the time-travel resume path can emit: the
+    .snapshots metadata walk, the per-snapshot round probe, and the
+    VERSION AS OF reads of both tables."""
+    from warcsum_spark.frontier.statestore import (
+        snapshots_sql,
+        time_travel_max_round_sql,
+        time_travel_pending_sql,
+        time_travel_seen_sql,
+    )
+
+    snaps = snapshots_sql("cat.db.crawl_pending")
+    assert "FROM cat.db.crawl_pending.snapshots" in snaps
+    assert "ORDER BY committed_at DESC" in snaps
+
+    probe = time_travel_max_round_sql("cat.db.crawl_pending", 991)
+    assert probe == (
+        "SELECT max(round_no) AS r FROM cat.db.crawl_pending VERSION AS OF 991"
+    )
+
+    tp = time_travel_pending_sql("cat.db.crawl_pending", 991, 3)
+    assert "VERSION AS OF 991" in tp
+    assert "WHERE round_no = 3" in tp
+    assert "round_no," not in tp  # projection drops the stamp column
+
+    ts = time_travel_seen_sql("cat.db.crawl_seen", 881)
+    assert ts == "SELECT url FROM cat.db.crawl_seen VERSION AS OF 881"
+
+
+class _FakeDF:
+    def __init__(self, rows=None, tag=None):
+        self.rows, self.tag = rows or [], tag
+
+    def collect(self):
+        return self.rows
+
+
+class _FakeConf:
+    def get(self, key, default=None):
+        return "org.apache.iceberg.spark.SparkCatalog"
+
+
+class _FakeIcebergSpark:
+    """Answers exactly the statements IcebergStateStore emits, from a
+    canned snapshot history — pins the time-travel pairing logic
+    (newest-first probe; seen snapshot = newest commit at-or-before the
+    pending snapshot) without a catalog."""
+
+    conf = _FakeConf()
+
+    def __init__(self, pending_snaps, seen_snaps, round_of, newest):
+        self._pending_snaps = pending_snaps  # newest-first dicts
+        self._seen_snaps = seen_snaps
+        self._round_of = round_of  # pending snapshot_id -> round
+        self._newest = newest
+        self.issued = []
+
+    def sql(self, q):
+        qn = " ".join(q.split())
+        self.issued.append(qn)
+        if ".snapshots" in qn:
+            src = self._pending_snaps if "_pending" in qn else self._seen_snaps
+            return _FakeDF(rows=list(src))
+        if qn.startswith("SELECT max(round_no) AS r FROM") and "VERSION AS OF" in qn:
+            sid = int(qn.rsplit(" ", 1)[1])
+            return _FakeDF(rows=[{"r": self._round_of[sid]}])
+        if qn.startswith("SELECT max(round_no) AS r FROM"):
+            return _FakeDF(rows=[{"r": self._newest}])
+        if qn.startswith("SELECT url, host, priority, depth FROM"):
+            sid = int(qn.split("VERSION AS OF ")[1].split(" ")[0])
+            return _FakeDF(tag=("pending", sid))
+        if qn.startswith("SELECT url FROM") and "VERSION AS OF" in qn:
+            sid = int(qn.rsplit(" ", 1)[1])
+            return _FakeDF(tag=("seen", sid))
+        raise AssertionError(f"unexpected statement: {qn}")
+
+    def createDataFrame(self, rows, schema):
+        return _FakeDF(tag=("empty-seen",))
+
+
+def test_iceberg_historical_load_pairs_snapshots():
+    """load(round_no=2) with newest=4: probes pending snapshots
+    newest-first until the round-2 overwrite, reads it VERSION AS OF,
+    and pairs the newest seen snapshot committed at-or-before it."""
+    pending_snaps = [
+        {"snapshot_id": 40, "committed_at": 400, "operation": "overwrite"},
+        {"snapshot_id": 30, "committed_at": 300, "operation": "overwrite"},
+        {"snapshot_id": 20, "committed_at": 200, "operation": "overwrite"},
+        {"snapshot_id": 10, "committed_at": 100, "operation": "overwrite"},
+    ]
+    seen_snaps = [
+        {"snapshot_id": 44, "committed_at": 395, "operation": "append"},
+        {"snapshot_id": 33, "committed_at": 295, "operation": "append"},
+        {"snapshot_id": 22, "committed_at": 195, "operation": "append"},
+        {"snapshot_id": 11, "committed_at": 95, "operation": "append"},
+    ]
+    fake = _FakeIcebergSpark(
+        pending_snaps, seen_snaps, round_of={40: 4, 30: 3, 20: 2, 10: 1}, newest=4
+    )
+    store = IcebergStateStore(fake, "cat", "crawl")
+    state = store.load(round_no=2)
+    assert state.round_no == 2
+    assert state.pending.tag == ("pending", 20)
+    # newest seen commit at-or-before committed_at=200 is snapshot 22
+    assert state.seen.tag == ("seen", 22)
+    # probe stopped at the target: snapshot 10 (round 1) never probed
+    probes = [q for q in fake.issued if "VERSION AS OF" in q and "max(round_no)" in q]
+    assert probes == [
+        "SELECT max(round_no) AS r FROM cat.crawl_pending VERSION AS OF 40",
+        "SELECT max(round_no) AS r FROM cat.crawl_pending VERSION AS OF 30",
+        "SELECT max(round_no) AS r FROM cat.crawl_pending VERSION AS OF 20",
+    ]
+
+
+def test_iceberg_historical_load_missing_round_raises():
+    fake = _FakeIcebergSpark(
+        [{"snapshot_id": 40, "committed_at": 400, "operation": "overwrite"}],
+        [],
+        round_of={40: 4},
+        newest=4,
+    )
+    store = IcebergStateStore(fake, "cat", "crawl")
+    with pytest.raises(ValueError, match="snapshot history"):
+        store.load(round_no=9)
+
+
+def test_iceberg_historical_load_empty_seen_history():
+    """A pending snapshot with no seen commit before it (first round,
+    seen still empty) loads an empty seen set, not a crash."""
+    fake = _FakeIcebergSpark(
+        [{"snapshot_id": 10, "committed_at": 100, "operation": "overwrite"},
+         {"snapshot_id": 20, "committed_at": 200, "operation": "overwrite"}][::-1],
+        [{"snapshot_id": 22, "committed_at": 150, "operation": "append"}],
+        round_of={10: 1, 20: 2},
+        newest=2,
+    )
+    store = IcebergStateStore(fake, "cat", "crawl")
+    state = store.load(round_no=1)
+    assert state.pending.tag == ("pending", 10)
+    assert state.seen.tag == ("empty-seen",)

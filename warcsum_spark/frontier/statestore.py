@@ -136,6 +136,34 @@ SELECT url, host, priority, depth, {round_no} AS round_no FROM {source_view}
 """
 
 
+def snapshots_sql(table: str) -> str:
+    """Newest-first snapshot history from the Iceberg ``.snapshots``
+    metadata table — the index time-travel resume walks."""
+    return f"""
+SELECT snapshot_id, committed_at, operation
+FROM {table}.snapshots
+ORDER BY committed_at DESC
+"""
+
+
+def time_travel_max_round_sql(table: str, snapshot_id: int) -> str:
+    """Which round a pending snapshot belongs to: INSERT OVERWRITE wrote
+    exactly one round_no per snapshot, so its max IS the round."""
+    return f"SELECT max(round_no) AS r FROM {table} VERSION AS OF {snapshot_id}"
+
+
+def time_travel_pending_sql(table: str, snapshot_id: int, round_no: int) -> str:
+    return f"""
+SELECT url, host, priority, depth
+FROM {table} VERSION AS OF {snapshot_id}
+WHERE round_no = {round_no}
+"""
+
+
+def time_travel_seen_sql(table: str, snapshot_id: int) -> str:
+    return f"SELECT url FROM {table} VERSION AS OF {snapshot_id}"
+
+
 class IcebergStateStore:
     """StateStore over Iceberg tables ``<prefix>_pending`` /
     ``<prefix>_seen`` in a configured Spark catalog.
@@ -217,22 +245,57 @@ class IcebergStateStore:
             round_no = newest
         elif round_no != newest:
             # INSERT OVERWRITE keeps only the newest round's pending rows
-            # in the live table; older rounds exist as Iceberg SNAPSHOTS.
-            # Loading them needs time travel (VERSION AS OF), which this
-            # stub does not implement — refuse loudly rather than return
-            # an empty frontier that would silently crawl nothing.
-            raise ValueError(
-                f"round {round_no} is not the newest committed round "
-                f"({newest}); historical rounds live in Iceberg snapshots "
-                "— read them with time travel (VERSION AS OF) or use "
-                "ParquetDirectoryStore, which materializes every round"
-            )
+            # in the live table; older rounds exist as Iceberg SNAPSHOTS —
+            # walk the .snapshots metadata newest-first, probe each
+            # overwrite's round stamp, and time-travel both tables to it.
+            # Snapshot count == committed rounds, so the probe is bounded;
+            # this is a resume path, not a hot loop.
+            return self._load_time_travel(round_no)
         pending = (
             self.spark.read.table(self.pending_table)
             .filter(F.col("round_no") == round_no)
             .drop("round_no")
         )
         seen = self.spark.read.table(self.seen_table)
+        return FrontierState(pending=pending, seen=seen, round_no=round_no)
+
+    def _load_time_travel(self, round_no: int) -> FrontierState:
+        """Historical round via VERSION AS OF. The seen snapshot paired
+        with a pending snapshot is the newest seen commit at or before
+        it — commit_round runs the seen MERGE before the pending
+        overwrite, so that pairing is exact, not heuristic."""
+        from warcsum_spark.frontier.superstep import SEEN_SCHEMA
+
+        target = None
+        for s in self.spark.sql(snapshots_sql(self.pending_table)).collect():
+            got = self.spark.sql(
+                time_travel_max_round_sql(self.pending_table, s["snapshot_id"])
+            ).collect()[0]["r"]
+            if got == round_no:
+                target = s
+                break
+        if target is None:
+            raise ValueError(
+                f"round {round_no} not found in {self.pending_table} "
+                "snapshot history (expired by snapshot retention?)"
+            )
+        pending = self.spark.sql(
+            time_travel_pending_sql(
+                self.pending_table, target["snapshot_id"], round_no
+            )
+        )
+        seen_snap = None
+        for s in self.spark.sql(snapshots_sql(self.seen_table)).collect():
+            if s["committed_at"] <= target["committed_at"]:
+                seen_snap = s
+                break
+        seen = (
+            self.spark.sql(
+                time_travel_seen_sql(self.seen_table, seen_snap["snapshot_id"])
+            )
+            if seen_snap is not None
+            else self.spark.createDataFrame([], SEEN_SCHEMA)
+        )
         return FrontierState(pending=pending, seen=seen, round_no=round_no)
 
 
