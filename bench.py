@@ -111,23 +111,234 @@ def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
         return
+    if "--scale-suite" in sys.argv:
+        run_scale_suite(sf_dir, cpus)
+        return
 
     spark = _session(cpus, max(int(cpus), 8))
     times = run_suite(spark, sf_dir)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"headline query suite wall-clock at sf={sf} on local[{cpus}]",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "loadavg_1min": round(os.getloadavg()[0], 1),
-            }
-        )
+    payload = {
+        "metric": f"headline query suite wall-clock at sf={sf} on local[{cpus}]",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "loadavg_1min": round(os.getloadavg()[0], 1),
+    }
+    # carry the latest data-scaling evidence (bench.py --scale-suite)
+    # into the per-round artifact so BENCH_r{N}.json is self-contained
+    scale_art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "suite_scale.json"
     )
+    if os.path.exists(scale_art):
+        with open(scale_art) as f:
+            art = json.load(f)
+        payload["scale_suite"] = art.get("summary", art)
+    print(json.dumps(payload))
     spark.stop()
+
+
+# primary input table per headline query — the denominator of its
+# rows/sec in the data-scaling suite (--scale-suite)
+QUERY_PRIMARY_TABLE = {
+    "doc_digest_manifest": "documents",
+    "doc_dedup_extended": "documents",
+    "pricing_agg": "lineitem",
+    "window_events": "events",
+    "join_segments": "orders",
+    "topk_per_user": "events",
+    "exact_dedup_docs": "documents",
+    "minhash_lsh_docs": "documents",
+    "text_stats": "documents",
+    "ann_bruteforce": "embeddings",
+    "frontier_schedule": "events",
+    "url_seen_gate": "events",
+    "para_dedup_docs": "documents",
+    "repetition_signals": "documents",
+    "training_pipeline": "documents",
+}
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — no Spark job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).metadata.num_rows
+
+
+def run_scale_suite(base_dir: str, cpus: str) -> None:
+    """The 15-query suite at sf0.1 AND at a deterministically amplified
+    input (tools/gen_scale.py, default ×10 ≈ sf1), same session and
+    config — per-query rows/sec at both scales plus the throughput
+    ratio. This is the suite-wide form of the amortization evidence: at
+    fixed parallelism, per-task work grows with data, so throughput
+    should RISE wherever the small-input time was dominated by fixed
+    task-launch/fan-in latency rather than by the engine.
+
+    Writes BENCH/suite_scale.json and refreshes the marked section of
+    BENCH/BASELINE.md; the default bench mode embeds the summary into
+    its one-line JSON so BENCH_r{N}.json carries the evidence."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_scale import generate_scaled
+
+    factor = int(os.environ.get("WARCSUM_SCALE_FACTOR", "10"))
+    scale_dir = os.environ.get(
+        "WARCSUM_SCALE_DIR", f"/tmp/warcsum_scale_x{factor}"
+    )
+    generate_scaled(base_dir, scale_dir, factor)
+
+    spark = _session(cpus, max(int(cpus), 8))
+    # UNTIMED full sweep first: whole-stage-codegen JIT is per query
+    # shape, and plan shapes are identical at both scales — without this
+    # the first timed sweep pays every query's C2 compile and the second
+    # one rides it, biasing the ratio toward whichever order ran last
+    _ = run_suite(spark, base_dir)
+    sweep = {}
+    loads = {}
+    for tag, d in (("base", base_dir), ("scaled", scale_dir)):
+        loads[tag] = round(os.getloadavg()[0], 1)
+        sweep[tag] = run_suite(spark, d)
+    spark.stop()
+
+    per_query = {}
+    for name in HEADLINE:
+        table = QUERY_PRIMARY_TABLE[name]
+        rows_b = _table_rows(base_dir, table)
+        rows_s = _table_rows(scale_dir, table)
+        tb, ts = sweep["base"][name], sweep["scaled"][name]
+        rps_b = rows_b / tb
+        rps_s = rows_s / ts
+        per_query[name] = {
+            "table": table,
+            "rows_base": rows_b,
+            "rows_scaled": rows_s,
+            "sec_base": tb,
+            "sec_scaled": ts,
+            "rows_per_sec_base": round(rps_b, 1),
+            "rows_per_sec_scaled": round(rps_s, 1),
+            "throughput_ratio": round(rps_s / rps_b, 2),
+        }
+    total_b = round(sum(sweep["base"].values()), 3)
+    total_s = round(sum(sweep["scaled"].values()), 3)
+    rising = sum(1 for q in per_query.values() if q["throughput_ratio"] > 1.0)
+    summary = {
+        "factor": factor,
+        "cpus": int(cpus),
+        "total_sec_base": total_b,
+        "total_sec_scaled": total_s,
+        "time_ratio": round(total_s / total_b, 2),
+        "queries_throughput_rising": rising,
+        "n_queries": len(per_query),
+        "median_throughput_ratio": round(
+            sorted(q["throughput_ratio"] for q in per_query.values())[
+                len(per_query) // 2
+            ],
+            2,
+        ),
+        "loadavg_1min": loads,
+    }
+    art_path = os.path.join(repo, "BENCH", "suite_scale.json")
+    os.makedirs(os.path.dirname(art_path), exist_ok=True)
+    prev = None
+    if os.path.exists(art_path):
+        with open(art_path) as f:
+            prev = json.load(f)
+    # merge-min on seconds across runs (same noise-robust estimator as
+    # the scaling protocol), then recompute derived fields
+    if prev and prev.get("factor") == factor:
+        for name, q in per_query.items():
+            p = prev.get("per_query", {}).get(name)
+            if not p:
+                continue
+            q["sec_base"] = min(q["sec_base"], p["sec_base"])
+            q["sec_scaled"] = min(q["sec_scaled"], p["sec_scaled"])
+            q["rows_per_sec_base"] = round(q["rows_base"] / q["sec_base"], 1)
+            q["rows_per_sec_scaled"] = round(
+                q["rows_scaled"] / q["sec_scaled"], 1
+            )
+            q["throughput_ratio"] = round(
+                q["rows_per_sec_scaled"] / q["rows_per_sec_base"], 2
+            )
+        summary["total_sec_base"] = round(
+            sum(q["sec_base"] for q in per_query.values()), 3
+        )
+        summary["total_sec_scaled"] = round(
+            sum(q["sec_scaled"] for q in per_query.values()), 3
+        )
+        summary["time_ratio"] = round(
+            summary["total_sec_scaled"] / summary["total_sec_base"], 2
+        )
+        summary["queries_throughput_rising"] = sum(
+            1 for q in per_query.values() if q["throughput_ratio"] > 1.0
+        )
+        summary["median_throughput_ratio"] = round(
+            sorted(q["throughput_ratio"] for q in per_query.values())[
+                len(per_query) // 2
+            ],
+            2,
+        )
+    artifact = {"factor": factor, "summary": summary, "per_query": per_query}
+    with open(art_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    _write_scale_suite_md(repo, factor, summary, per_query)
+    print(json.dumps(summary))
+
+
+def _write_scale_suite_md(repo, factor, summary, per_query) -> None:
+    start, end = "<!-- scale-suite:start -->", "<!-- scale-suite:end -->"
+    lines = [
+        start,
+        f"## Suite throughput vs data scale (×{factor}, local[{summary['cpus']}])",
+        "",
+        f"Same 15 queries, same session/config, sf0.1 input vs a ×{factor} "
+        "deterministic amplification (tools/gen_scale.py: keys re-keyed "
+        "consistently so join fan-outs are preserved, texts per-replica "
+        "cipher-rotated so dedup/LSH candidate structure scales instead of "
+        "collapsing into R-way near-dup clusters, embeddings rotated). "
+        "rows/sec = primary-table rows / wall sec; a ratio > 1 means the "
+        "query got FASTER per row with more data — its small-input time "
+        "was fixed overhead, not engine cost. Seconds are min-of-reps, "
+        "merge-min across runs.",
+        "",
+        "| query | table | sec @sf0.1 | sec @×10 | rows/s @sf0.1 | "
+        "rows/s @×10 | throughput ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in HEADLINE:
+        q = per_query[name]
+        lines.append(
+            f"| {name} | {q['table']} | {q['sec_base']} | {q['sec_scaled']} "
+            f"| {q['rows_per_sec_base']} | {q['rows_per_sec_scaled']} "
+            f"| **{q['throughput_ratio']}** |"
+        )
+    lines += [
+        "",
+        f"Totals: {summary['total_sec_base']} s → "
+        f"{summary['total_sec_scaled']} s for {factor}× the rows "
+        f"(time ratio {summary['time_ratio']}× — ideal strong-scaling-free "
+        f"cost would be {factor}×). Throughput rises on "
+        f"{summary['queries_throughput_rising']}/{summary['n_queries']} "
+        f"queries; median ratio {summary['median_throughput_ratio']}.",
+        end,
+    ]
+    block = "\n".join(lines)
+    path = os.path.join(repo, "BENCH", "BASELINE.md")
+    md = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            md = f.read()
+    if start in md and end in md:
+        pre, rest = md.split(start, 1)
+        _, post = rest.split(end, 1)
+        md = pre + block + post
+    else:
+        md = md.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(md)
 
 
 SCALE_BASE_ROWS = 20_000
