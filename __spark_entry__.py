@@ -2107,6 +2107,109 @@ GROUP BY user_id, session_no
 """
 
 
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29 (operators/boilerplate.py): host/source-scoped template-line
+    removal. The synthetic documents are single-line, so the prep gives
+    them web-page structure: a newline every 12 words plus a per-source
+    NAV header and COPYRIGHT footer — exactly the lines the pass must
+    strip (df = 100% within source) while the body lines stay."""
+    from warcsum_spark.operators.boilerplate import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV MENU "),
+            F.col("source"),
+            F.lit("\n"),
+            F.regexp_replace("text", r"((?:\S+ ){12})", "$1\n"),
+            F.lit("\nCOPYRIGHT 2020 "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return remove_boilerplate(docs, min_df_frac=0.5, min_docs=5)
+
+
+def _oracle_boilerplate() -> str:
+    from warcsum_spark.functions.repetition import _NONBLANK_RE
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         'NAV MENU ' || source || chr(10) ||
+         regexp_replace(text, '((?:\\S+ ){{12}})', '\\1' || chr(10), 'g') ||
+         chr(10) || 'COPYRIGHT 2020 ' || source AS text
+  FROM documents
+), sp AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS lines FROM docs
+), l AS (
+  SELECT DISTINCT doc_id, source, unnest(lines) AS line FROM sp
+), gd AS (
+  SELECT source, count(*) AS n_docs FROM docs GROUP BY source
+), df AS (
+  SELECT source, line, count(DISTINCT doc_id) AS df FROM l
+  WHERE regexp_matches(line, '{_NONBLANK_RE}')
+  GROUP BY source, line
+), bl AS (
+  SELECT df.source, list(df.line) AS bl
+  FROM df JOIN gd USING (source)
+  WHERE gd.n_docs >= 5 AND df.df >= gd.n_docs * 0.5
+  GROUP BY df.source
+), cleaned AS (
+  SELECT sp.doc_id, sp.source, sp.lines,
+         list_filter(sp.lines,
+                     x -> bl.bl IS NULL OR NOT list_contains(bl.bl, x)) AS kept
+  FROM sp LEFT JOIN bl ON bl.source = sp.source
+)
+SELECT doc_id, source,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM cleaned
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30 (operators/inverted_index.py): term → (df, cf, postings) with
+    the hot-term cap. The synthetic vocabulary is tiny and hot (df
+    300-400 of 500 docs), so the prep appends one rare per-doc marker
+    term (xtok<doc_id mod 97>) — rare terms carry full posting lists,
+    the natural stopword-like vocabulary keeps exact stats with null
+    postings, exercising both tiers of the operator."""
+    from warcsum_spark.operators.inverted_index import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" xtok"), (F.col("doc_id") % 97).cast("string")
+        ).alias("text"),
+    )
+    return build_inverted_index(docs, max_postings=30)
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH docs AS (
+  SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+  FROM docs
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm WHERE t <> ''
+), stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM toks GROUP BY term
+), posts AS (
+  SELECT term, list(DISTINCT doc_id ORDER BY doc_id) AS postings
+  FROM toks GROUP BY term
+)
+SELECT s.term, s.df, s.cf,
+       CASE WHEN s.df <= 30 THEN p.postings ELSE NULL END AS postings
+FROM stats s JOIN posts p USING (term)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2163,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "para_dedup_docs": q_para_dedup_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "boilerplate_docs": q_boilerplate_docs,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -2216,6 +2321,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _oracle_repetition(),
         "para_dedup_docs": _oracle_para_dedup(),
         "decontaminate_docs": ORACLE_DECONTAMINATE,
+        "boilerplate_docs": _oracle_boilerplate(),
+        "inverted_index": ORACLE_INVERTED_INDEX,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
