@@ -300,3 +300,64 @@ def test_frontier_round_real_http_end_to_end(spark, http_site):
         )
         assert scheduled_order(sched) == sim.scheduled_per_round[rnd], f"round {rnd}"
     assert {r["url"] for r in state.seen.collect()} == sim.seen
+
+
+def test_member_range_refetch_end_to_end(spark, tmp_path, http_site):
+    """The full warccollres re-download path over real sockets: scan the
+    fixture archives locally for (warcfile, offset, length), resolve
+    mirror URLs through the path-index broadcast join, range-GET each
+    member's compressed extent from a loopback server (first mirror
+    dead), and verify byte parity: fetched bytes == the archive slice,
+    and the inflated payload == the local scan's payload."""
+    import os
+    import zlib
+
+    from warcsum_spark.fixtures import write_warc_archives
+    from warcsum_spark.sources.warc import scan_warc_members
+    from warcsum_spark.sources.web_pages import resolve_mirror_urls
+
+    d = str(tmp_path / "archives")
+    os.makedirs(d)
+    write_warc_archives(d)
+    blobs = {}
+    for fn in os.listdir(d):
+        if fn.endswith(".warc.gz"):
+            with open(os.path.join(d, fn), "rb") as fh:
+                blobs[fn] = fh.read()
+            http_site["pages"][f"/warc/{fn}"] = blobs[fn]
+
+    members = (
+        scan_warc_members(spark, d)
+        .filter(F.col("is_warc") & (F.col("warc_type") == "response"))
+        .select("warcfile", "offset", "length", "uri", "payload")
+        .limit(40)
+    )
+    base, dead = http_site["base"], http_site["dead"]
+    pi = spark.createDataFrame(
+        [(fn, f"{dead}/warc/{fn}") for fn in blobs]
+        + [(fn, f"{base}/warc/{fn}") for fn in blobs],
+        "filename string, url string",
+    )
+    manifest = resolve_mirror_urls(members, pi).withColumnRenamed("uri", "url")
+    fetched = fetch_pages(
+        manifest,
+        lambda: HttpRangeFetcher(timeout=10),
+        mirrors_col="mirror_urls",
+        range_cols=("offset", "length"),
+    )
+    joined = manifest.select(
+        "url", "warcfile", "offset", "length", F.col("payload").alias("local_payload")
+    ).join(fetched.withColumnRenamed("body", "fetched_body"), "url")
+    rows = joined.collect()
+    assert rows and all(r["status"] == 206 for r in rows)
+    for r in rows:
+        blob = blobs[r["warcfile"]]
+        extent = blob[r["offset"] : r["offset"] + r["length"]]
+        got = bytes(r["fetched_body"])
+        # byte parity with the archive slice (the 206 came off the wire)
+        assert got == extent, r["url"]
+        assert r["mirror"].startswith(base)  # dead mirror failed over
+        # inflate the refetched member and compare the payload bytes to
+        # the local scan (warccollres.c:663-781 end state)
+        inflated = zlib.decompressobj(wbits=31).decompress(got)
+        assert bytes(r["local_payload"]) in inflated

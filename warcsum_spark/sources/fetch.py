@@ -29,8 +29,14 @@ FETCH_RESULT_SCHEMA = (
 class Fetcher(Protocol):
     """One instance per executor partition; may hold live connections."""
 
-    def fetch_many(self, urls: pd.Series, mirrors: pd.Series | None) -> pd.DataFrame:
-        """Rows aligned with ``urls``: (status, mirror, body, error)."""
+    def fetch_many(
+        self,
+        urls: pd.Series,
+        mirrors: pd.Series | None,
+        ranges: pd.Series | None = None,
+    ) -> pd.DataFrame:
+        """Rows aligned with ``urls``: (status, mirror, body, error).
+        ``ranges`` rows are (first_byte, last_byte) inclusive or None."""
         ...
 
     def close(self) -> None: ...
@@ -41,7 +47,12 @@ class SyntheticFetcher:
     seeded function of the URL (sha256), status always 200. Mirrors are
     recorded as 'synthetic://'."""
 
-    def fetch_many(self, urls: pd.Series, mirrors: pd.Series | None) -> pd.DataFrame:
+    def fetch_many(
+        self,
+        urls: pd.Series,
+        mirrors: pd.Series | None,
+        ranges: pd.Series | None = None,
+    ) -> pd.DataFrame:
         import hashlib
 
         bodies = [
@@ -66,9 +77,10 @@ class HttpRangeFetcher:
     (warccollres.c:718–740): try each mirror in order, first success wins;
     optional byte range (warccollres.c:663–781 fetches the member's
     compressed extent, not the whole archive). Uses a per-instance
-    connection-reusing opener. NOT exercised in this sandbox (no network);
-    the interface and failover logic are unit-testable via ``opener``
-    injection."""
+    connection-reusing opener. Exercised over real loopback sockets in
+    tests/test_fetch.py (range semantics, mirror failover, and the full
+    manifest → path-index → range-fetch member re-download); ``opener``
+    injection remains for unit tests."""
 
     def __init__(self, timeout: float = 30.0, opener: Callable | None = None):
         self.timeout = timeout
@@ -102,11 +114,17 @@ class HttpRangeFetcher:
                 last_err = f"{mirror}: {type(e).__name__}: {e}"
         return 0, None, None, last_err
 
-    def fetch_many(self, urls: pd.Series, mirrors: pd.Series | None) -> pd.DataFrame:
+    def fetch_many(
+        self,
+        urls: pd.Series,
+        mirrors: pd.Series | None,
+        ranges: pd.Series | None = None,
+    ) -> pd.DataFrame:
         rows = []
         for i, u in enumerate(urls):
             ms = None if mirrors is None else mirrors.iloc[i]
-            rows.append(self._fetch_one(u, ms))
+            rng = None if ranges is None else ranges.iloc[i]
+            rows.append(self._fetch_one(u, ms, byte_range=rng))
         return pd.DataFrame(rows, columns=["status", "mirror", "body", "error"])
 
     def close(self) -> None:
@@ -117,14 +135,23 @@ def fetch_pages(
     scheduled: DataFrame,
     fetcher_factory: Callable[[], Fetcher],
     mirrors_col: str | None = None,
+    range_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """(url, [mirror_urls], ...) → + (status, mirror, body, error).
+    """(url, [mirror_urls], [offset, length], ...) → + (status, mirror,
+    body, error).
 
     One fetcher per partition (connection reuse), Arrow-batched rows
     through it. Network-bound by design — size partitions to the desired
     per-host concurrency upstream (politeness already bounds per-host
-    rows per round)."""
+    rows per round).
+
+    ``range_cols=(offset_col, length_col)`` turns each fetch into the
+    reference's compressed-extent range GET (warccollres.c:663–781):
+    bytes [offset, offset+length-1] inclusive, i.e. exactly the gzip
+    member named by a manifest row, instead of the whole archive."""
     in_cols = ["url"] + ([mirrors_col] if mirrors_col else [])
+    if range_cols:
+        in_cols += list(range_cols)
     src = scheduled.select(*in_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,7 +159,20 @@ def fetch_pages(
         try:
             for pdf in batches:
                 mirrors = pdf[mirrors_col] if mirrors_col else None
-                res = fetcher.fetch_many(pdf["url"], mirrors)
+                ranges = None
+                if range_cols:
+                    off, ln = pdf[range_cols[0]], pdf[range_cols[1]]
+                    ranges = pd.Series(
+                        [
+                            None
+                            if pd.isna(o) or pd.isna(n)
+                            else (int(o), int(o) + int(n) - 1)
+                            for o, n in zip(off, ln)
+                        ],
+                        index=pdf.index,
+                        dtype="object",
+                    )
+                res = fetcher.fetch_many(pdf["url"], mirrors, ranges)
                 res.insert(0, "url", pdf["url"].to_numpy())
                 yield res
         finally:
