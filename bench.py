@@ -46,6 +46,9 @@ HEADLINE = [
     "para_dedup_docs",
     "repetition_signals",
     "training_pipeline",
+    # round 4 additions — appended for the same delta-comparability reason
+    "boilerplate_docs",
+    "inverted_index",
 ]
 
 
@@ -157,6 +160,8 @@ QUERY_PRIMARY_TABLE = {
     "para_dedup_docs": "documents",
     "repetition_signals": "documents",
     "training_pipeline": "documents",
+    "boilerplate_docs": "documents",
+    "inverted_index": "documents",
 }
 
 
@@ -294,7 +299,7 @@ def _write_scale_suite_md(repo, factor, summary, per_query) -> None:
         start,
         f"## Suite throughput vs data scale (×{factor}, local[{summary['cpus']}])",
         "",
-        f"Same 15 queries, same session/config, sf0.1 input vs a ×{factor} "
+        f"Same {len(HEADLINE)} queries, same session/config, sf0.1 input vs a ×{factor} "
         "deterministic amplification (tools/gen_scale.py: keys re-keyed "
         "consistently so join fan-outs are preserved, texts per-replica "
         "cipher-rotated so dedup/LSH candidate structure scales instead of "
@@ -304,8 +309,8 @@ def _write_scale_suite_md(repo, factor, summary, per_query) -> None:
         "was fixed overhead, not engine cost. Seconds are min-of-reps, "
         "merge-min across runs.",
         "",
-        "| query | table | sec @sf0.1 | sec @×10 | rows/s @sf0.1 | "
-        "rows/s @×10 | throughput ratio |",
+        f"| query | table | sec @sf0.1 | sec @×{factor} | rows/s @sf0.1 | "
+        f"rows/s @×{factor} | throughput ratio |",
         "|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
