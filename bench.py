@@ -246,7 +246,10 @@ def run_scale_suite(base_dir: str, cpus: str) -> None:
         ),
         "loadavg_1min": loads,
     }
-    art_path = os.path.join(repo, "BENCH", "suite_scale.json")
+    art_name = (
+        "suite_scale.json" if factor == 10 else f"suite_scale_x{factor}.json"
+    )
+    art_path = os.path.join(repo, "BENCH", art_name)
     os.makedirs(os.path.dirname(art_path), exist_ok=True)
     prev = None
     if os.path.exists(art_path):
@@ -289,47 +292,70 @@ def run_scale_suite(base_dir: str, cpus: str) -> None:
     artifact = {"factor": factor, "summary": summary, "per_query": per_query}
     with open(art_path, "w") as f:
         json.dump(artifact, f, indent=1)
-    _write_scale_suite_md(repo, factor, summary, per_query)
+    _write_scale_suite_md(repo)
     print(json.dumps(summary))
 
 
-def _write_scale_suite_md(repo, factor, summary, per_query) -> None:
+def _load_scale_artifacts(repo) -> list[dict]:
+    import glob as _glob
+
+    arts = []
+    for p in sorted(
+        _glob.glob(os.path.join(repo, "BENCH", "suite_scale*.json"))
+    ):
+        with open(p) as f:
+            arts.append(json.load(f))
+    arts.sort(key=lambda a: a["factor"])
+    return arts
+
+
+def _write_scale_suite_md(repo) -> None:
+    """One marked block rendering every stored amplification factor —
+    the multi-point curve of throughput vs data volume."""
     start, end = "<!-- scale-suite:start -->", "<!-- scale-suite:end -->"
+    arts = _load_scale_artifacts(repo)
     lines = [
         start,
-        f"## Suite throughput vs data scale (×{factor}, local[{summary['cpus']}])",
+        "## Suite throughput vs data scale (local[32])",
         "",
-        f"Same {len(HEADLINE)} queries, same session/config, sf0.1 input vs a ×{factor} "
-        "deterministic amplification (tools/gen_scale.py: keys re-keyed "
-        "consistently so join fan-outs are preserved, texts per-replica "
-        "cipher-rotated so dedup/LSH candidate structure scales instead of "
-        "collapsing into R-way near-dup clusters, embeddings rotated). "
-        "rows/sec = primary-table rows / wall sec; a ratio > 1 means the "
-        "query got FASTER per row with more data — its small-input time "
-        "was fixed overhead, not engine cost. Seconds are min-of-reps, "
-        "merge-min across runs.",
-        "",
-        f"| query | table | sec @sf0.1 | sec @×{factor} | rows/s @sf0.1 | "
-        f"rows/s @×{factor} | throughput ratio |",
-        "|---|---|---|---|---|---|---|",
+        f"Same {len(HEADLINE)} queries, same session/config, sf0.1 input "
+        "vs deterministic amplifications (tools/gen_scale.py: keys "
+        "re-keyed consistently so join fan-outs are preserved, texts "
+        "per-replica cipher-rotated so dedup/LSH candidate structure "
+        "scales instead of collapsing into R-way near-dup clusters, "
+        "embeddings rotated). rows/sec = primary-table rows / wall sec; "
+        "a ratio > 1 means the query got FASTER per row with more data — "
+        "its small-input time was fixed overhead, not engine cost. "
+        "Seconds are min-of-reps, merge-min across runs.",
     ]
-    for name in HEADLINE:
-        q = per_query[name]
+    for art in arts:
+        factor, summary, per_query = art["factor"], art["summary"], art["per_query"]
+        lines += [
+            "",
+            f"### ×{factor}",
+            "",
+            f"| query | table | sec @sf0.1 | sec @×{factor} | rows/s @sf0.1 | "
+            f"rows/s @×{factor} | throughput ratio |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name in HEADLINE:
+            q = per_query.get(name)
+            if q is None:
+                continue
+            lines.append(
+                f"| {name} | {q['table']} | {q['sec_base']} | {q['sec_scaled']} "
+                f"| {q['rows_per_sec_base']} | {q['rows_per_sec_scaled']} "
+                f"| **{q['throughput_ratio']}** |"
+            )
         lines.append(
-            f"| {name} | {q['table']} | {q['sec_base']} | {q['sec_scaled']} "
-            f"| {q['rows_per_sec_base']} | {q['rows_per_sec_scaled']} "
-            f"| **{q['throughput_ratio']}** |"
+            f"\nTotals: {summary['total_sec_base']} s → "
+            f"{summary['total_sec_scaled']} s for {factor}× the rows "
+            f"(time ratio {summary['time_ratio']}× — ideal strong-scaling-"
+            f"free cost would be {factor}×). Throughput rises on "
+            f"{summary['queries_throughput_rising']}/{summary['n_queries']} "
+            f"queries; median ratio {summary['median_throughput_ratio']}."
         )
-    lines += [
-        "",
-        f"Totals: {summary['total_sec_base']} s → "
-        f"{summary['total_sec_scaled']} s for {factor}× the rows "
-        f"(time ratio {summary['time_ratio']}× — ideal strong-scaling-free "
-        f"cost would be {factor}×). Throughput rises on "
-        f"{summary['queries_throughput_rising']}/{summary['n_queries']} "
-        f"queries; median ratio {summary['median_throughput_ratio']}.",
-        end,
-    ]
+    lines.append(end)
     block = "\n".join(lines)
     path = os.path.join(repo, "BENCH", "BASELINE.md")
     md = ""
