@@ -2187,6 +2187,37 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_inverted_index(docs, max_postings=30)
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31 (functions/sampling.py::sample_stratified): corpus
+    rebalancing — downsample the dominant language, keep mid strata
+    partially, leave unlisted strata at the default rate (here 1.0 so
+    the tail survives whole). Deterministic md5-bucket membership, so
+    the oracle recomputes the exact id set."""
+    from warcsum_spark.functions.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_stratified(
+        docs,
+        rates={"en": 0.25, "zh": 0.5, "es": 0.75},
+        group_col="lang",
+        default_rate=1.0,
+    )
+
+
+def _oracle_stratified() -> str:
+    from warcsum_spark.functions.sampling import bucket_sql
+
+    b = bucket_sql("doc_id")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < CASE lang
+  WHEN 'en' THEN 64
+  WHEN 'zh' THEN 128
+  WHEN 'es' THEN 192
+  ELSE 256 END
+"""
+
+
 ORACLE_INVERTED_INDEX = r"""
 WITH docs AS (
   SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
@@ -2268,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "boilerplate_docs": q_boilerplate_docs,
         "inverted_index": q_inverted_index,
+        "stratified_sample_docs": q_stratified_sample_docs,
     }
 
 
@@ -2323,6 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": ORACLE_DECONTAMINATE,
         "boilerplate_docs": _oracle_boilerplate(),
         "inverted_index": ORACLE_INVERTED_INDEX,
+        "stratified_sample_docs": _oracle_stratified(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

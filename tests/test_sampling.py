@@ -75,3 +75,65 @@ def test_split_bounds_rejects_sub_bucket_weight():
     # boundary: exactly one bucket is fine
     bounds = split_bounds({"a": 255, "b": 1})
     assert bounds == [("a", 0, 255), ("b", 255, 256)]
+
+
+def test_stratified_rates_and_determinism(spark):
+    """Per-stratum rates land near target (within 1/256 quantization +
+    binomial noise), membership is deterministic, repartition-invariant,
+    and nested: lowering a rate yields a SUBSET of the higher-rate
+    sample (corpus versions nest)."""
+    import hashlib
+
+    from warcsum_spark.functions.sampling import sample_stratified
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"a": 0.25, "b": 0.75}
+    out = sample_stratified(df, rates, default_rate=1.0)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    # independent reference
+    def bucket(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:2], 16)
+
+    expect = {
+        (i, l)
+        for i, l in rows
+        if bucket(i) < int(rates.get(l, 1.0) * 256)
+    }
+    assert got == expect
+    # per-stratum counts near targets
+    from collections import Counter
+
+    c = Counter(l for _, l in got)
+    assert abs(c["a"] / 2000 - 0.25) < 0.05
+    assert abs(c["b"] / 2000 - 0.75) < 0.05
+    assert c["c"] == 2000  # default_rate=1.0 keeps unlisted strata whole
+    # repartition invariance
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in sample_stratified(df.repartition(13), rates, default_rate=1.0).collect()
+    }
+    assert got2 == got
+    # nesting: a lower rate is a subset of the higher one
+    lower = {
+        (r["doc_id"], r["lang"])
+        for r in sample_stratified(df, {"a": 0.1, "b": 0.75}, default_rate=1.0).collect()
+    }
+    assert lower <= got
+
+
+def test_stratified_default_drop_and_plan(spark):
+    """default_rate=0.0 drops unlisted strata; the plan is a pure filter
+    (no exchange, no Python)."""
+    from warcsum_spark.functions.sampling import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, ["a", "x"][i % 2]) for i in range(200)], "doc_id long, lang string"
+    )
+    out = sample_stratified(df, {"a": 1.0})
+    rows = out.collect()
+    assert rows and all(r["lang"] == "a" for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan

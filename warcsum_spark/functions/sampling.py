@@ -93,3 +93,39 @@ def bucket_sql(id_expr: str, seed: int = 42) -> str:
         f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
         f" + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-rebalancing idiom
+    (downsample dominant languages/domains, keep the tail whole): keep a
+    row iff ``bucket(seed, id) < rates[group]·256``. Same purity
+    guarantees as ``hash_split``: membership is a function of
+    (seed, id, group rate) only — reproducible across engines, re-runs,
+    partitionings, and cluster sizes, and the SAME ids survive whenever
+    two runs share a rate (lowering a rate yields a subset of the
+    previous sample, so corpus versions nest).
+
+    ``rates`` is a small driver-side dict → an inline CASE over the
+    group column; groups not listed keep ``default_rate`` (0.0 = drop —
+    explicit rates only — pass 1.0 to keep unlisted strata whole).
+    Map-only JVM expressions; rates quantized to 1/256 like everything
+    in this module."""
+    b = _bucket(F.col(id_col), seed)
+    thr = None
+    for name, rate in rates.items():
+        t = F.lit(int(rate * _N_BUCKETS))
+        cond = F.col(group_col) == name
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(int(default_rate * _N_BUCKETS))
+        if thr is None
+        else thr.otherwise(F.lit(int(default_rate * _N_BUCKETS)))
+    )
+    return df.filter(b < thr)
