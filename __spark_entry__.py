@@ -2218,6 +2218,33 @@ WHERE {b} < CASE lang
 """
 
 
+def q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32 (operators/pagerank.py): link-graph PageRank as the frontier
+    priority signal. Edges derive deterministically from events; dst
+    ranges wider than src so nodes 40-49 are dangling (never fetched,
+    no outlinks) — the mass-redistribution branch is exercised, not
+    just the join."""
+    from warcsum_spark.operators.pagerank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    pr = pagerank(edges, damping=0.85, iters=4)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _oracle_pagerank() -> str:
+    from warcsum_spark.operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        damping=0.85,
+        iters=4,
+    )
+
+
 ORACLE_INVERTED_INDEX = r"""
 WITH docs AS (
   SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
@@ -2300,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "inverted_index": q_inverted_index,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "pagerank_links": q_pagerank_links,
     }
 
 
@@ -2356,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_docs": _oracle_boilerplate(),
         "inverted_index": ORACLE_INVERTED_INDEX,
         "stratified_sample_docs": _oracle_stratified(),
+        "pagerank_links": _oracle_pagerank(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

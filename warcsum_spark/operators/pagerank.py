@@ -1,0 +1,141 @@
+"""T32 — PageRank over the crawl link graph, the classic priority
+signal a production frontier feeds into its per-host queues (the
+north-star scheduler ranks by priority; this computes that priority
+from link structure instead of taking it on faith from the seed list).
+
+Spark-first iterative shape (same idiom as clusters.py / the frontier
+superstep): each iteration is ONE edge-keyed join + ONE dst-keyed
+aggregation, with the rank frame ``localCheckpoint``ed per round —
+a lazy chain would re-expand the whole prior lineage at every of the
+three places the rank frame is consumed (contributions, dangling mass,
+rank base), i.e. O(3^iters) subtrees. The degree-weighted edge list is
+built once and checkpointed; per-iteration shuffles key on node ids
+and carry (node, double) rows only. Dangling-node mass (pages with no
+outlinks — crawl frontiers are FULL of these: every not-yet-fetched
+leaf) is redistributed uniformly via a one-row broadcast join, never a
+driver collect.
+
+Engine-portability: ranks are rounded to ``round_scale`` decimals at
+the END of every iteration, which pins the float trajectory bit-for-bit
+across engines — the driver's DuckDB oracle unrolls the same iterations
+as chained CTEs (one pair per round) and must match exactly, not
+approximately. (Without per-round rounding, different summation orders
+drift in the 13th digit and diverge after a few damping multiplies.)
+
+At 10^10 edges: both per-iteration shuffles are hash exchanges on node
+id — the same key every round, so a production run pre-partitions the
+edge list once and every iteration reuses the layout; rank state is
+2 doubles per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_scale: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations from the uniform
+    start. Nodes are every id appearing as src or dst; duplicate edges
+    are collapsed (link multiplicity does not multiply rank flow —
+    match the classic formulation)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n1 = nodes.agg(F.count("*").alias("_n"))  # one row, broadcast below
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_w = e.join(deg, "src").localCheckpoint(eager=True)  # (src, dst, _deg)
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contribs = (
+            e_w.join(ranks, e_w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_contrib"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    ),
+                    round_scale,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    damping: float = 0.85,
+    iters: int = 4,
+    round_scale: int = 10,
+    final_scale: int = 8,
+) -> str:
+    """The same computation as chained CTEs for DuckDB — one
+    (contrib, rank) pair per unrolled iteration, identical per-round
+    rounding, so the oracle is exact. ``edges_cte`` is a SELECT
+    yielding (src, dst)."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, round(1.0 / n.n, {round_scale}) AS rank FROM nodes, n)",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"c{i + 1} AS (SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS contrib "
+            f"FROM e JOIN deg USING (src) JOIN {prev} ON {prev}.node = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i + 1} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"round((1.0 - {d}) / n.n + {d} * (coalesce(c{i + 1}.contrib, 0.0) "
+            f"+ d{i + 1}.dm / n.n), {round_scale}) AS rank "
+            f"FROM nodes LEFT JOIN c{i + 1} ON c{i + 1}.node = nodes.node, "
+            f"d{i + 1}, n)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(rank, {final_scale}) AS rank FROM r{iters}"
+    )
