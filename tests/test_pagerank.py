@@ -73,3 +73,61 @@ def test_two_node_cycle_symmetry(spark):
         pagerank(spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long"), iters=6)
     )
     assert got[0] == got[1] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_pagerank_drives_frontier_priorities(spark):
+    """Composition: PageRank scores become frontier seed priorities and
+    the crawl order matches the oracle simulator fed the same scores —
+    the north-star 'priority queue' with a computed, not asserted,
+    priority."""
+    from warcsum_spark.fixtures import gen_frontier_fixture
+    from warcsum_spark.frontier.superstep import (
+        frontier_round,
+        init_frontier,
+        scheduled_order,
+    )
+    from warcsum_spark.oracle import canonicalize_url as oracle_canon
+    from warcsum_spark.oracle import simulate_crawl
+    from pyspark.sql import functions as F
+
+    seeds, link_graph, budgets, robots = gen_frontier_fixture()
+    # PR over the fixture link graph (canonical urls as nodes)
+    edge_rows = [
+        (oracle_canon(u), oracle_canon(v))
+        for u, outs in link_graph.items()
+        for v in outs
+        if oracle_canon(u) and oracle_canon(v)
+    ]
+    edges = spark.createDataFrame(edge_rows, "src string, dst string")
+    pr = pagerank(edges, iters=3)
+    scores = {r["node"]: r["rank"] for r in pr.collect()}
+
+    pr_seeds = [(u, scores[oracle_canon(u)]) for u, _ in seeds]
+    sim = simulate_crawl(pr_seeds, link_graph, budgets, robots, rounds=3)
+    state = init_frontier(
+        spark,
+        pr.select(F.col("node").alias("url"), F.col("rank").alias("priority"))
+        .join(
+            spark.createDataFrame(
+                [(oracle_canon(u),) for u, _ in seeds], "url string"
+            ),
+            "url",
+        ),
+    )
+    lg_df = spark.createDataFrame(
+        [(u, outs) for u, outs in sorted(link_graph.items())],
+        "url string, outlinks array<string>",
+    )
+    pol_df = spark.createDataFrame(sorted(budgets.items()), "host string, budget int")
+    robots_df = spark.createDataFrame(
+        [
+            (h, [{"allow": a, "prefix": p} for a, p in rules])
+            for h, rules in sorted(robots.items())
+        ],
+        "host string, rules array<struct<allow boolean, prefix string>>",
+    )
+    for rnd in range(3):
+        state, sched = frontier_round(
+            spark, state, lg_df, robots=robots_df, politeness=pol_df
+        )
+        assert scheduled_order(sched) == sim.scheduled_per_round[rnd], f"round {rnd}"
