@@ -2245,6 +2245,71 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 (operators/anchors.py): anchor-text aggregation. Docs get
+    synthetic pages with two links each — a per-doc target (7×13 id
+    grid) anchored by the doc's language, and a shared hub target with
+    two competing anchor variants — so the aggregation sees both long
+    tails and a hot key with a tie-breakable top-k."""
+    from warcsum_spark.operators.anchors import aggregate_anchor_text, anchor_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://d"), F.col("doc_id").cast("string"), F.lit(".test/")).alias("url"),
+        F.concat(
+            F.lit('<html><a href="http://site'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit('">'),
+            F.col("lang"),
+            F.lit(' page</a> <a href="http://hub.test/">'),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Hub")).otherwise(
+                F.lit("THE HUB")
+            ),
+            F.lit("</a></html>"),
+        ).alias("html"),
+    )
+    return aggregate_anchor_text(anchor_pairs(pages), k=2)
+
+
+def _oracle_anchor_text() -> str:
+    from warcsum_spark.operators.anchors import ANCHOR_PATTERN
+
+    pat = ANCHOR_PATTERN.replace("'", "''")
+    return f"""
+WITH pages AS (
+  SELECT 'http://d' || CAST(doc_id AS VARCHAR) || '.test/' AS url,
+         '<html><a href="http://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.test/p/' || CAST(doc_id % 13 AS VARCHAR) || '">' || lang
+         || ' page</a> <a href="http://hub.test/">'
+         || CASE WHEN doc_id % 3 = 0 THEN 'Hub' ELSE 'THE HUB' END
+         || '</a></html>' AS html
+  FROM documents
+), h AS (
+  SELECT url,
+         regexp_extract_all(html, '{pat}', 1) AS hrefs,
+         regexp_extract_all(html, '{pat}', 2) AS texts
+  FROM pages
+), p AS (
+  SELECT url, hrefs[i] AS href, trim(texts[i]) AS anchor
+  FROM h, unnest(range(1, len(hrefs) + 1)) AS t(i)
+), c AS (
+  SELECT href, anchor, count(*) AS cnt FROM p GROUP BY href, anchor
+), tot AS (
+  SELECT href, sum(cnt) AS n_refs FROM c GROUP BY href
+), r AS (
+  SELECT href, anchor, cnt,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY cnt DESC, anchor ASC) AS rank
+  FROM c
+)
+SELECT r.href, CAST(tot.n_refs AS BIGINT) AS n_refs,
+       CAST(r.rank AS INT) AS rank, r.anchor, r.cnt
+FROM r JOIN tot USING (href) WHERE r.rank <= 2
+"""
+
+
 ORACLE_INVERTED_INDEX = r"""
 WITH docs AS (
   SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
@@ -2328,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "stratified_sample_docs": q_stratified_sample_docs,
         "pagerank_links": q_pagerank_links,
+        "anchor_text": q_anchor_text,
     }
 
 
@@ -2385,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": ORACLE_INVERTED_INDEX,
         "stratified_sample_docs": _oracle_stratified(),
         "pagerank_links": _oracle_pagerank(),
+        "anchor_text": _oracle_anchor_text(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
