@@ -1,0 +1,117 @@
+"""WARC sink — persist fetched pages as standard ``.warc.gz`` archives,
+one gzip member per response record (the layout warcsum.c:822–842 walks
+and every web-archive tool expects). The reference suite only READS
+archives; a crawler also has to WRITE them, and writing them in the
+same member-per-record framing means this engine's own scanner (and the
+reference tools) can re-ingest its output — the round-trip is pinned in
+tests/test_warc_writer.py byte-for-byte through the oracle manifest.
+
+Spark shape: ``mapInPandas`` with one output archive per input
+partition — the member chain inside a file is inherently sequential, so
+a partition is the natural write unit (mirror of the scan side, where a
+file is the natural read unit). Records are framed exactly like the
+canonical fixtures: WARC/1.0 header block (Type/Target-URI/Date/
+Content-Type/Payload-Digest/Content-Length), HTTP response block,
+payload, ``\\r\\n\\r\\n`` member separator, each record its own gzip
+member (compresslevel/mtime fixed → byte-deterministic for a given
+partitioning). The returned DataFrame is the write manifest (path,
+n_records, bytes) — an action on it IS the write (same contract as any
+Spark sink).
+
+At 100 TB: archives land at partition grain, so output file size is
+controlled by the upstream ``repartition`` — the standard ~1 GB WARC
+targets fall out of ordinary partition sizing, and the write needs no
+shuffle of its own.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from base64 import b32encode
+from collections.abc import Iterator
+from hashlib import sha1
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WRITE_MANIFEST_SCHEMA = "path string, n_records long, bytes long"
+
+
+def _record(uri: str, date: str, payload: bytes, content_type: str) -> bytes:
+    """One response record, framed exactly like fixtures._warc_member
+    (the layout the scanner and the pure-Python oracle both parse)."""
+    http_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + content_type.encode()
+        + b"\r\n\r\n"
+    )
+    body = http_block + payload
+    b32 = b32encode(sha1(payload).digest()).decode().rstrip("=")
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: application/http; msgtype=response",
+        b"WARC-Payload-Digest: sha1:" + b32.encode(),
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def write_warc_archives(
+    pages: DataFrame,
+    out_dir: str,
+    prefix: str = "crawl",
+    uri_col: str = "url",
+    payload_col: str = "body",
+    date_col: str | None = None,
+    content_type: str = "text/html",
+    default_date: str = "2015-01-01T00:00:00Z",
+) -> DataFrame:
+    """Write one ``{prefix}-{partition:05d}.warc.gz`` per non-empty input
+    partition under ``out_dir``; returns the lazy write manifest
+    (path, n_records, bytes) — run an action on it to execute the write.
+    Rows with a null payload are skipped (a failed fetch has nothing to
+    archive; gate upstream on ``status`` if stricter is needed)."""
+    cols = [
+        F.col(uri_col).alias("_uri"),
+        F.col(payload_col).alias("_payload"),
+        (
+            F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            if date_col
+            else F.lit(default_date)
+        ).alias("_date"),
+        F.spark_partition_id().alias("_pid"),
+    ]
+    src = pages.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one archive per partition: a partition is streamed through a
+        # single append handle, members in row order
+        fh = None
+        path = None
+        n = 0
+        for pdf in batches:
+            for uri, payload, date, pid in zip(
+                pdf["_uri"], pdf["_payload"], pdf["_date"], pdf["_pid"]
+            ):
+                if payload is None:
+                    continue
+                if fh is None:
+                    path = os.path.join(out_dir, f"{prefix}-{int(pid):05d}.warc.gz")
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(path, "wb")
+                member = _record(str(uri), str(date), bytes(payload), content_type)
+                fh.write(gzip.compress(member, compresslevel=6, mtime=0))
+                n += 1
+        if fh is None:
+            return
+        fh.close()
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "bytes": [os.path.getsize(path)]}
+        )
+
+    return src.mapInPandas(run, schema=WRITE_MANIFEST_SCHEMA)
