@@ -2310,6 +2310,83 @@ FROM r JOIN tot USING (href) WHERE r.rank <= 2
 """
 
 
+_RECRAWL_NOW_EPOCH = 1705708800  # 2024-01-20T00:00:00Z, mid data range
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 (operators/recrawl.py): change-rate recrawl scheduling over a
+    fetch history derived from events (one page per user; the payload
+    digest is a coarse content version, so some pages change often and
+    some never). Epoch projections keep the comparison timezone-proof."""
+    from warcsum_spark.operators.recrawl import recrawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.select(
+        F.concat(
+            F.lit("http://s"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("user_id") % 97).cast("string"),
+        ).alias("url"),
+        F.col("ts"),
+        F.md5(((F.floor("value").cast("int")) % 4).cast("string")).alias("digest"),
+        F.col("event_id"),
+    )
+    sched = recrawl_schedule(
+        history,
+        now="2024-01-20T00:00:00Z",
+        min_interval_sec=3600,
+        max_interval_sec=14 * 24 * 3600,
+        tiebreak_col="event_id",
+    )
+    return sched.select(
+        "url",
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+        "n_fetches",
+        "n_changes",
+        "interval_sec",
+        F.unix_timestamp("next_due").alias("next_due_epoch"),
+        "due",
+    )
+
+
+ORACLE_RECRAWL = f"""
+WITH history AS (
+  SELECT 'http://s' || CAST(user_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(user_id % 97 AS VARCHAR) AS url,
+         ts,
+         md5(CAST(CAST(floor(value) AS INT) % 4 AS VARCHAR)) AS digest,
+         event_id
+  FROM events
+), lagged AS (
+  SELECT url, ts, digest,
+         lag(digest) OVER (PARTITION BY url ORDER BY ts, event_id) AS prev
+  FROM history
+), agg AS (
+  SELECT url,
+         count(*) AS n_fetches,
+         sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END) AS n_changes,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS span
+  FROM lagged GROUP BY url
+), iv AS (
+  SELECT url, last_epoch, n_fetches, n_changes,
+         CASE WHEN n_changes > 0
+              -- floor, not bare CAST: DuckDB casts double→BIGINT by
+              -- ROUNDING, Spark's .cast('long') truncates
+              THEN least(greatest(CAST(floor(span / n_changes) AS BIGINT), 3600),
+                         {14 * 24 * 3600})
+              ELSE {14 * 24 * 3600} END AS interval_sec
+  FROM agg
+)
+SELECT url, last_epoch, n_fetches, n_changes, interval_sec,
+       last_epoch + interval_sec AS next_due_epoch,
+       (last_epoch + interval_sec) <= {_RECRAWL_NOW_EPOCH} AS due
+FROM iv
+"""
+
+
 ORACLE_INVERTED_INDEX = r"""
 WITH docs AS (
   SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
@@ -2394,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pagerank_links": q_pagerank_links,
         "anchor_text": q_anchor_text,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -2452,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _oracle_stratified(),
         "pagerank_links": _oracle_pagerank(),
         "anchor_text": _oracle_anchor_text(),
+        "recrawl_schedule": ORACLE_RECRAWL,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
