@@ -2387,6 +2387,50 @@ FROM iv
 """
 
 
+def q_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36 (frontier/budget.py): largest-remainder apportionment of a
+    global fetch budget across hosts by priority mass, with a per-host
+    cap that binds on the hottest hosts."""
+    from warcsum_spark.frontier.budget import allocate_host_budgets
+
+    ev = _t(spark, sf_dir, "events")
+    pending = ev.select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.col("value").alias("priority"),
+    )
+    return allocate_host_budgets(pending, total_budget=500, max_per_host=40)
+
+
+ORACLE_HOST_BUDGETS = """
+WITH pending AS (
+  SELECT 'host' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+         value AS priority
+  FROM events
+), mass AS (
+  SELECT host, round(sum(priority), 6) AS mass FROM pending GROUP BY host
+), sh AS (
+  SELECT host, mass, mass / sum(mass) OVER () * 500 AS share FROM mass
+), cp AS (
+  SELECT host, mass, greatest(least(share, 40.0), 0.0) AS capped FROM sh
+), b AS (
+  SELECT host, mass, CAST(floor(capped) AS BIGINT) AS base,
+         round(capped - floor(capped), 6) AS rem
+  FROM cp
+), r AS (
+  SELECT host, mass, base, rem,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk,
+         500 - sum(base) OVER () AS leftover
+  FROM b
+)
+SELECT host, mass,
+       CAST(least(base + CASE WHEN rnk <= leftover AND leftover > 0
+                              THEN 1 ELSE 0 END, 40) AS BIGINT) AS budget
+FROM r
+"""
+
+
 ORACLE_INVERTED_INDEX = r"""
 WITH docs AS (
   SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
@@ -2472,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
+        "host_budgets": q_host_budgets,
     }
 
 
@@ -2531,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_links": _oracle_pagerank(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
+        "host_budgets": ORACLE_HOST_BUDGETS,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
