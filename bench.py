@@ -49,6 +49,11 @@ HEADLINE = [
     # round 4 additions — appended for the same delta-comparability reason
     "boilerplate_docs",
     "inverted_index",
+    "stratified_sample_docs",
+    "pagerank_links",
+    "anchor_text",
+    "recrawl_schedule",
+    "host_budgets",
 ]
 
 
@@ -162,6 +167,11 @@ QUERY_PRIMARY_TABLE = {
     "training_pipeline": "documents",
     "boilerplate_docs": "documents",
     "inverted_index": "documents",
+    "stratified_sample_docs": "documents",
+    "pagerank_links": "events",
+    "anchor_text": "documents",
+    "recrawl_schedule": "events",
+    "host_budgets": "events",
 }
 
 
