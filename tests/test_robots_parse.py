@@ -166,3 +166,90 @@ def test_robots_sitemaps_extraction(spark):
     }
     plan = robots_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_fetch_robots_over_loopback(spark):
+    """The robots table no longer arrives from nowhere: hosts →
+    GET /robots.txt over real sockets → rules + Crawl-delay budgets →
+    the gate; an unreachable host parses as all-allowed (RFC 9309
+    §2.3.1 unavailability)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from warcsum_spark.frontier.robots import (
+        budgets_from_crawl_delay,
+        fetch_robots,
+        robots_allowed,
+    )
+    from warcsum_spark.sources.fetch import HttpRangeFetcher
+
+    body = b"User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 5\n"
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path != "/robots.txt":
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        live = f"127.0.0.1:{port}"
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        dead = f"127.0.0.1:{s.getsockname()[1]}"
+        s.close()
+
+        hosts = spark.createDataFrame([(live,), (dead,)], "host string")
+        robots = fetch_robots(hosts, lambda: HttpRangeFetcher(timeout=10))
+        rows = {r["host"]: r for r in robots.collect()}
+        assert [dict(x.asDict()) for x in rows[live]["rules"]] == [
+            {"allow": False, "prefix": "/private"},
+            {"allow": True, "prefix": "/private/ok"},
+        ]
+        assert rows[live]["crawl_delay"] == 5.0
+        assert list(rows[dead]["rules"]) == []  # unreachable → all allowed
+        assert rows[dead]["crawl_delay"] is None
+
+        budgets = {
+            r["host"]: r["budget"]
+            for r in budgets_from_crawl_delay(robots, window_sec=60).collect()
+        }
+        assert budgets[live] == 12  # floor(60/5)
+        assert budgets[dead] == 10  # default
+
+        cands = spark.createDataFrame(
+            [
+                (f"http://{live}/private/x", live),
+                (f"http://{live}/private/ok/x", live),
+                (f"http://{live}/public", live),
+                (f"http://{dead}/anything", dead),
+            ],
+            "url string, host string",
+        )
+        got = {
+            r["url"]
+            for r in robots_allowed(
+                cands, robots.select("host", "rules")
+            ).collect()
+        }
+        assert got == {
+            f"http://{live}/private/ok/x",
+            f"http://{live}/public",
+            f"http://{dead}/anything",
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()

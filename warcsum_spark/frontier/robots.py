@@ -181,3 +181,33 @@ def robots_sitemaps(
             F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
         ).filter(F.col("sitemap_url") != "")
     )
+
+
+def fetch_robots(
+    hosts: DataFrame,
+    fetcher_factory,
+    host_col: str = "host",
+    scheme: str = "http",
+) -> DataFrame:
+    """Production seam closure: (host) → GET {scheme}://host/robots.txt
+    through the standard fetch stage → the gate's (host, rules,
+    crawl_delay) table. A 404/unreachable robots.txt parses as the
+    empty rule set (everything allowed, RFC 9309 §2.3.1 unavailability
+    rule) with no Crawl-delay — the fetch failure is policy, not an
+    error. Hosts are dimension-grain, so this is one small fetch round
+    per scheduling window, not per URL."""
+    from warcsum_spark.sources.fetch import fetch_pages
+
+    urls = hosts.select(
+        F.col(host_col).alias("host"),
+        F.concat(
+            F.lit(f"{scheme}://"), F.col(host_col), F.lit("/robots.txt")
+        ).alias("url"),
+    )
+    fetched = fetch_pages(urls, fetcher_factory).join(
+        urls, "url"
+    )
+    body = F.when(
+        F.col("status").between(200, 299), F.col("body").cast("string")
+    ).otherwise(F.lit(""))  # unavailable → empty rules → all allowed
+    return parse_robots_txt(fetched.select("host", body.alias("body")))
