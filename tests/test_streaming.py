@@ -194,3 +194,65 @@ def test_stream_quality_gate_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < 240  # the gate actually discriminates
+
+
+def test_stream_url_gate_equals_batch(spark, tmp_path):
+    """URL admission (canonicalize → blocklist → robots) is stateless /
+    stream-static, so the streaming lift must admit exactly the batch
+    survivor set over the same discovered-URL firehose."""
+    from warcsum_spark.streaming.url_gate import (
+        gated_url_columns,
+        stream_url_gate,
+    )
+
+    indir = tmp_path / "url_in"
+    indir.mkdir()
+    rows1 = [
+        (f"HTTP://Site{i % 6}.TEST:80/p/{i}#frag", 1.0 / (i + 1))
+        for i in range(60)
+    ]
+    rows2 = [
+        (f"http://site{i % 6}.test/q/{i}?b=2&a=1", 0.5) for i in range(60)
+    ] + [("not a url", 1.0), (None, 1.0)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(
+            rows, "raw_url string, priority double"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+    robots = spark.createDataFrame(
+        [("site1.test", [{"allow": False, "prefix": "/p/"}])],
+        "host string, rules array<struct<allow boolean, prefix string>>",
+    )
+    kw = dict(
+        blocked_domains=["site2.test"],
+        block_patterns=[r"/q/1\d$"],
+        robots=robots,
+    )
+    out = str(tmp_path / "url_out")
+    q = (
+        stream_url_gate(spark, str(indir), max_files_per_trigger=1, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "url_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = gated_url_columns(
+        spark.read.schema("raw_url string, priority double").parquet(str(indir)),
+        **kw,
+    )
+    want = {(r["url"], r["host"], r["priority"]) for r in batch.collect()}
+    got = {
+        (r["url"], r["host"], r["priority"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    # each gate actually bit: blocklist host absent, robots prefix absent,
+    # pattern rows absent, canonicalization applied
+    assert not any("site2.test" in u for u, _, _ in got)
+    assert not any(h == "site1.test" and "/p/" in u for u, h, _ in got)
+    assert not any(u.endswith(tuple(f"/q/1{d}" for d in "0123456789")) for u, _, _ in got)
+    assert any(u.startswith("http://site0.test/p/") for u, _, _ in got)
+    assert 0 < len(got) < 122
