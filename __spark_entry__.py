@@ -2454,6 +2454,150 @@ FROM stats s JOIN posts p USING (term)
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37 (operators/cdx.py): CDX web-archive index rows over a capture
+    set derived from documents — SURT urlkeys (reversed host, www-strip,
+    lowercased path?query), 14-digit timestamps, manifest geometry. The
+    synthetic URLs deliberately carry www., mixed case, ports, and query
+    strings so every SURT rule is exercised at the gate."""
+    from warcsum_spark.operators.cdx import cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select(
+        F.concat(
+            F.lit("http://www.S"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.test:8080/Page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&A=1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        F.col("source").alias("warcfile"),
+        (F.col("doc_id") * 1024).alias("offset"),
+        F.col("n_chars").alias("length"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+    )
+    # core 7-field form at the gate; the mime/status columns are pytest-pinned
+    return cdx_index(captures)
+
+
+ORACLE_CDX = r"""
+WITH captures AS (
+  SELECT 'http://www.S' || CAST(doc_id % 20 AS VARCHAR) || '.Example.test:8080/Page/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '?b=2&A=1' ELSE '' END AS url,
+         make_timestamp((1704067200 + doc_id) * 1000000) AS ts,
+         source AS warcfile,
+         doc_id * 1024 AS "offset",
+         n_chars AS length,
+         md5(text) AS digest
+  FROM documents
+), surt AS (
+  SELECT *,
+         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM captures
+), parts AS (
+  SELECT *,
+         regexp_replace(lower(regexp_extract(rest, '^([^/:]+)', 1)),
+                        '^www\.', '') AS host,
+         regexp_replace(lower(regexp_extract(rest, '^[^/]*(/.*)?$', 1)),
+                        '#.*$', '') AS path0
+  FROM surt
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+         || CASE WHEN path0 = '' THEN '/' ELSE path0 END AS urlkey,
+       strftime(ts, '%Y%m%d%H%M%S') AS timestamp,
+       url, digest, warcfile AS filename,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(length AS BIGINT) AS length
+FROM parts
+"""
+
+
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38 (frontier/traps.py): crawl-trap detection over an events-
+    derived URL stream. Hosts h0–h4 are calendar traps (one digit
+    template generates every URL); h5–h19 spread their URLs across
+    letter-keyed templates and must NOT flag."""
+    from warcsum_spark.frontier.traps import detect_traps
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test"),
+            F.when(
+                F.col("user_id") % 20 < 5,
+                F.concat(F.lit("/archive/"), F.col("event_id").cast("string")),
+            ).otherwise(
+                F.concat(
+                    F.lit("/"),
+                    F.col("event_type"),
+                    F.lit("/"),
+                    F.char(F.lit(97) + (F.col("event_id") % 15).cast("int")),
+                )
+            ),
+        ).alias("url"),
+    )
+    return detect_traps(
+        urls, min_urls=50, min_template_urls=30, min_share=0.5
+    )
+
+
+ORACLE_CRAWL_TRAPS = r"""
+WITH urls AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+         'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test' ||
+         CASE WHEN user_id % 20 < 5
+              THEN '/archive/' || CAST(event_id AS VARCHAR)
+              ELSE '/' || event_type || '/' || chr(97 + CAST(event_id % 15 AS INT))
+         END AS url
+  FROM events
+), tmpl AS (
+  SELECT host,
+         regexp_replace(
+           CASE WHEN regexp_extract(
+                  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                  '^[^/]*(/[^?#]*)?', 1) = ''
+                THEN '/'
+                ELSE regexp_extract(
+                  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                  '^[^/]*(/[^?#]*)?', 1)
+           END, '[0-9]+', '<n>', 'g')
+         || regexp_extract(
+              regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+              '^[^?#]*(\?)', 1) AS template,
+         url
+  FROM urls
+), per_tmpl AS (
+  SELECT host, template, count(DISTINCT url) AS t_urls
+  FROM tmpl GROUP BY host, template
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+              ORDER BY t_urls DESC, template ASC) AS rk
+  FROM per_tmpl
+), per_host AS (
+  SELECT host,
+         sum(t_urls) AS n_urls,
+         count(*) AS n_templates,
+         max(CASE WHEN rk = 1 THEN template END) AS top_template,
+         max(CASE WHEN rk = 1 THEN t_urls END) AS top_urls
+  FROM ranked GROUP BY host
+)
+SELECT host, n_urls, n_templates, top_template, top_urls,
+       round(top_urls / CAST(n_urls AS DOUBLE), 6) AS top_share,
+       (n_urls >= 50 AND top_urls >= 30
+        AND top_urls / CAST(n_urls AS DOUBLE) >= 0.5) AS is_trap
+FROM per_host
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2517,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
+        "cdx_index": q_cdx_index,
+        "crawl_traps": q_crawl_traps,
     }
 
 
@@ -2577,6 +2723,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
+        "cdx_index": ORACLE_CDX,
+        "crawl_traps": ORACLE_CRAWL_TRAPS,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
