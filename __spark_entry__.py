@@ -2598,6 +2598,138 @@ FROM per_host
 """
 
 
+_LM_NORM_SQL = r"""
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+  FROM documents
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T39 (operators/lm_score.py): CCNet-style bigram-LM perplexity —
+    the model trains on the English slice (the trusted reference) and
+    scores every document; non-English docs should surface with high
+    perplexity."""
+    from warcsum_spark.operators.lm_score import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity(
+        docs,
+        reference=docs.filter(F.col("lang") == "en"),
+        vocab_size=100,
+        alpha=0.1,
+    )
+
+
+ORACLE_LM_PERPLEXITY = rf"""
+WITH norm AS ({_LM_NORM_SQL}
+), toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS w
+  FROM norm
+), ref_terms AS (
+  SELECT unnest(w) AS term FROM toks WHERE lang = 'en'
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM ref_terms GROUP BY term
+  ) ORDER BY c DESC, term ASC LIMIT 100
+), bg_all AS (
+  SELECT doc_id, lang, bg[1] AS v0, bg[2] AS w0
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+    FROM toks WHERE len(w) >= 2
+  )
+), bg_mapped AS (
+  SELECT doc_id, lang,
+         CASE WHEN v0 IN (SELECT term FROM vocab) THEN v0 ELSE '<unk>' END AS v,
+         CASE WHEN w0 IN (SELECT term FROM vocab) THEN w0 ELSE '<unk>' END AS w
+  FROM bg_all
+), model AS (
+  SELECT v, w, count(*) AS c_vw FROM bg_mapped WHERE lang = 'en' GROUP BY v, w
+), ctx AS (
+  SELECT v, sum(c_vw) AS c_v FROM model GROUP BY v
+), scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(m.c_vw, 0) + 0.1)
+            / (coalesce(c.c_v, 0) + 10.1)) AS lp
+  FROM bg_mapped b
+  LEFT JOIN model m ON b.v = m.v AND b.w = m.w
+  LEFT JOIN ctx c ON b.v = c.v
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(sum(lp) / count(*), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logprob,
+       round(exp(-a.avg_logprob), 6) AS perplexity
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T40 (operators/dsir.py): hashed-bigram importance weights — the
+    English slice is the target distribution, the whole corpus is raw;
+    per-doc log importance weight over 512 md5 buckets."""
+    from warcsum_spark.operators.dsir import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs,
+        target=docs.filter(F.col("lang") == "en"),
+        n_buckets=512,
+        alpha=0.1,
+    )
+
+
+ORACLE_DSIR = rf"""
+WITH norm AS ({_LM_NORM_SQL}
+), toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS w
+  FROM norm
+), bg AS (
+  SELECT doc_id, lang, bg[1] AS v, bg[2] AS w
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+    FROM toks WHERE len(w) >= 2
+  )
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(v || ' ' || w), 1, 8)) AS BIGINT) % 512
+           AS bucket
+  FROM bg
+), ht AS (
+  SELECT bucket, count(*) AS c_t FROM feats WHERE lang = 'en' GROUP BY bucket
+), hr AS (
+  SELECT bucket, count(*) AS c_r FROM feats GROUP BY bucket
+), j AS (
+  SELECT coalesce(ht.bucket, hr.bucket) AS bucket,
+         coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+  FROM ht FULL OUTER JOIN hr ON ht.bucket = hr.bucket
+), tot AS (
+  SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM j
+), wt AS (
+  SELECT bucket,
+         ln(((c_t + 0.1) / (n_t + 51.2))
+            / ((c_r + 0.1) / (n_r + 51.2))) AS lw
+  FROM j, tot
+), scored AS (
+  SELECT f.doc_id, w.lw FROM feats f JOIN wt w USING (bucket)
+), agg AS (
+  SELECT doc_id, count(*) AS n_features, round(sum(lw), 6) AS log_weight,
+         round(sum(lw) / count(*), 6) AS avg_log_weight
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_features, 0) AS n_features,
+       a.log_weight, a.avg_log_weight
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2663,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budgets": q_host_budgets,
         "cdx_index": q_cdx_index,
         "crawl_traps": q_crawl_traps,
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -2725,6 +2859,8 @@ def oracle_sql() -> dict[str, str]:
         "host_budgets": ORACLE_HOST_BUDGETS,
         "cdx_index": ORACLE_CDX,
         "crawl_traps": ORACLE_CRAWL_TRAPS,
+        "lm_perplexity": ORACLE_LM_PERPLEXITY,
+        "dsir_scores": ORACLE_DSIR,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

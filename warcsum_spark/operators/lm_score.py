@@ -1,0 +1,171 @@
+"""T39 — n-gram language-model perplexity scoring (the CCNet recipe:
+Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data", LREC 2020 — score web documents by the perplexity
+of a language model trained on a trusted reference corpus; low
+perplexity ≈ fluent prose, high ≈ gibberish/boilerplate/wrong
+language). CCNet uses a pretrained KenLM binary; this operator trains
+the LM *inside the engine* from a reference DataFrame, so the whole
+path is one lazy Spark plan with a DuckDB-recomputable oracle and no
+external model artifact.
+
+Model (pinned exactly — variants abound):
+
+* tokens: the corpus-wide normalized lowercase words
+  (functions/quality.py::_norm boundaries, shared with every text
+  operator);
+* vocab: the ``vocab_size`` most frequent reference terms
+  (count DESC, term ASC — deterministic ties); everything else maps
+  to ``<unk>``;
+* bigram model with add-alpha smoothing over the clipped vocab:
+  ``P(w|v) = (C(v,w) + alpha) / (C(v) + alpha*(vocab_size+1))``
+  where counts come from the vocab-mapped reference stream;
+* per-doc: ``avg_logprob`` = mean over the doc's bigrams of
+  ``ln P(w|v)``, ``perplexity = exp(-avg_logprob)``. Docs with < 2
+  tokens score NULL (nothing observed).
+
+Float pinning: aggregates are rounded to 6 dp at the OUTPUT only —
+never per-term. Per-term rounding looks safer but is a trap: it makes
+the per-doc sum an exact 6-digit decimal, so ``sum/n`` lands exactly ON
+round-half boundaries for many docs (e.g. -0.042734/92 = -0.0004645)
+and Spark/DuckDB half-handling then diverges systematically. With raw
+doubles the engines differ only by libm-ulp + sum-order noise (~1e-13),
+which is uniformly far from the 1e-6 grid's boundaries.
+
+Plan shape at 100 TB (every exchange slim-keyed):
+
+1. vocab: term-count agg (map-side combine) → TakeOrdered top-V — no
+   global sort; V rows broadcast;
+2. bigram extraction is MAP-ONLY: ``arrays_zip(slice, slice)`` on the
+   word array — no position self-join;
+3. vocab mapping: two broadcast hash joins (V rows);
+4. model: one (v, w) agg over the reference stream; context totals
+   C(v) fall out of a window over the AGGREGATED model table (no
+   second corpus pass);
+5. scoring: bigram-keyed join doc-stream ⋈ model (sort-merge on slim
+   keys; unseen pairs coalesce to 0), context join is broadcast
+   (≤ V+1 rows), then one doc-keyed agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK = "<unk>"
+
+
+def _words(text_col: str) -> Column:
+    from warcsum_spark.functions.repetition import _norm_words
+
+    return _norm_words(F.lower(F.col(text_col)))
+
+
+def _bigram_stream(
+    df: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """(id_cols..., v, w) — one row per consecutive word pair, map-only."""
+    w = _words(text_col)
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.arrays_zip(
+            F.expr(f"slice({'_lm_w'}, 1, size({'_lm_w'}) - 1)"),
+            F.expr(f"slice({'_lm_w'}, 2, size({'_lm_w'}) - 1)"),
+        ),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    staged = df.withColumn("_lm_w", w).select(
+        *id_cols, F.explode(pairs).alias("_bg")
+    )
+    return staged.select(
+        *id_cols,
+        F.col("_bg.0").alias("v"),
+        F.col("_bg.1").alias("w"),
+    )
+
+
+def lm_vocab(
+    reference: DataFrame, text_col: str = "text", vocab_size: int = 10_000
+) -> DataFrame:
+    """(term) — the ``vocab_size`` most frequent reference terms,
+    ties broken lexicographically. TakeOrdered, never a global sort."""
+    return (
+        reference.select(F.explode(_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+
+
+def _map_vocab(stream: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
+    hit = vocab.select(F.col("term").alias(col), F.lit(True).alias("_in"))
+    return (
+        stream.join(F.broadcast(hit), col, "left")
+        .withColumn(
+            col, F.when(F.col("_in").isNotNull(), F.col(col)).otherwise(F.lit(UNK))
+        )
+        .drop("_in")
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(v, w, c_vw, c_v) — vocab-mapped bigram counts plus context
+    totals (a window over the aggregated table, not a second pass)."""
+    bg = _bigram_stream(reference, [], text_col)
+    bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+    model = bg.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    return model.withColumn(
+        "c_v", F.sum("c_vw").over(Window.partitionBy("v"))
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """(doc_col, n_bigrams, avg_logprob, perplexity) for every doc.
+    ``reference`` defaults to ``docs`` itself (self-perplexity — useful
+    for outlier mining); CCNet-style filtering passes a trusted corpus.
+    """
+    if reference is None:
+        reference = docs
+    vocab = lm_vocab(reference, text_col, vocab_size)
+    model = train_bigram_lm(reference, vocab, text_col)
+    contexts = model.select("v", "c_v").distinct()
+
+    bg = _bigram_stream(docs, [doc_col], text_col)
+    bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+    denom_add = F.lit(alpha * (vocab_size + 1))
+    scored = (
+        bg.join(model.select("v", "w", "c_vw"), ["v", "w"], "left")
+        .join(F.broadcast(contexts), "v", "left")
+        .select(
+            doc_col,
+            F.log(
+                (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c_v"), F.lit(0)) + denom_add)
+            ).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(doc_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("_lp") / F.count("*"), 6).alias("avg_logprob"),
+    )
+    spine = docs.select(doc_col)
+    return (
+        spine.join(agg, doc_col, "left")
+        .select(
+            doc_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
+        )
+    )
