@@ -59,9 +59,11 @@ def test_hot_term_posting_cap(spark):
 
 
 def test_cap_filters_before_collection(spark):
-    """Plan shape: with a cap, the posting aggregation consumes a
-    semi-joined token stream — the plan contains a LeftSemi join and the
-    collect_set aggregate sits above it."""
+    """Plan shape: with a cap, ineligible doc ids are nulled BEFORE the
+    posting aggregation (collect_list skips nulls, so hot terms buffer
+    nothing) — one lineage, no join, and exactly two hash exchanges:
+    the (term, doc) pair aggregation and the term re-key for the
+    window+final agg."""
     df = spark.createDataFrame(_rows(), "doc_id long, text string")
     plan = (
         build_inverted_index(df, max_postings=2)
@@ -69,5 +71,7 @@ def test_cap_filters_before_collection(spark):
         .executedPlan()
         .toString()
     )
-    assert "LeftSemi" in plan
-    assert "collect_set" in plan
+    assert "Join" not in plan
+    assert "collect_list" in plan  # pairs are already distinct at collection
+    assert "CASE WHEN" in plan     # the null-out guard sits under the agg
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -6,18 +6,30 @@ term-major view a retrieval or analysis pipeline consumes).
 Scale design — the hot-term problem is solved structurally, not by
 hoping ``collect_set`` fits:
 
-* **Statistics pass** (df = documents containing the term, cf = total
-  occurrences) is one exchange keyed on the term with map-side partial
-  aggregation — stopwords collapse to one row per partition before the
-  shuffle, so the exchange carries at most |vocab| × partitions rows.
+* **One token-stream exchange, period.** The corpus is exploded ONCE
+  and aggregated to the (term, doc, tc) grain — keyed on (term, doc)
+  with map-side partial aggregation, so within-document repeats
+  collapse before the shuffle. Every later step (df/cf statistics,
+  eligibility, posting collection) runs over that pair table, which is
+  distinct-pairs-sized, not token-stream-sized. The earlier draft
+  shuffled the token stream twice (a stats agg AND a no-combine
+  ``.distinct()`` for pairs) and re-exploded the corpus for each
+  lineage branch — measured as the operator's scale bottleneck (suite
+  ×30 amplification: 3.4× throughput vs the suite median 13×).
+* **df/cf fall out of the pair table**: df = rows per term, cf =
+  sum(tc) — one dimension-sized exchange on term.
 * **Posting lists only for terms with df ≤ max_postings.** A full
   posting list for a stopword at corpus scale is billions of entries in
   one aggregation buffer — the classic single-key OOM. Real systems
-  shard or skip those; here the bounded-df join FILTERS the token
-  stream before any list is collected, so no aggregation buffer can
-  exceed ``max_postings`` entries. Hot terms keep exact df/cf and a
-  null posting list (callers that need hot-term postings shard by
-  (term, doc_id range) explicitly).
+  shard or skip those; here df rides a window over the pair table and
+  ineligible doc ids are nulled INSIDE ``collect_list`` (which skips
+  nulls), so a hot term's aggregation buffer stays empty — no list can
+  exceed ``max_postings`` entries, with zero joins and a single
+  lineage (the pair table is computed once; the window and the final
+  aggregation share the term partitioning, so no exchange between
+  them). Hot terms keep exact df/cf and a null posting list (callers
+  that need hot-term postings shard by (term, doc_id range)
+  explicitly).
 * Tokenization is the battery-wide shared projection
   (functions/quality._norm): one definition of a token across quality,
   repetition, TF-IDF, and this index.
@@ -28,7 +40,7 @@ the WARC record, warcsum.c:881–1011); §2.12 training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,16 +65,20 @@ def build_inverted_index(
     with df > ``max_postings`` (exact stats are still emitted for them;
     see module docstring for why hot lists are structurally skipped)."""
     toks = _tokens(docs, id_col, text_col)
-    stats = toks.groupBy("term").agg(
-        F.count_distinct(id_col).alias("df"), F.count("*").alias("cf")
-    )
-    pairs = toks.distinct()
+    # the ONLY token-stream exchange: (term, doc) with map-side combine
+    pairs = toks.groupBy("term", id_col).agg(F.count("*").alias("_tc"))
+    elem = F.col(id_col)
     if max_postings is not None:
-        eligible = stats.filter(F.col("df") <= max_postings).select("term")
-        pairs = pairs.join(eligible, "term", "left_semi")
-    postings = pairs.groupBy("term").agg(
-        F.sort_array(F.collect_set(id_col)).alias("postings")
+        w = Window.partitionBy("term")
+        pairs = pairs.withColumn("_wdf", F.count("*").over(w))
+        # null elements are skipped by collect_list: hot terms buffer nothing
+        elem = F.when(F.col("_wdf") <= max_postings, F.col(id_col))
+    agg = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("_tc").alias("cf"),
+        F.sort_array(F.collect_list(elem)).alias("_p"),
     )
-    return stats.join(postings, "term", "left").select(
-        "term", "df", "cf", "postings"
-    )
+    postings = F.col("_p")
+    if max_postings is not None:
+        postings = F.when(F.col("df") <= max_postings, F.col("_p"))
+    return agg.select("term", "df", "cf", postings.alias("postings"))
