@@ -2730,6 +2730,60 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T41 (operators/hostgraph.py): page-level links collapsed to the
+    host graph with per-host connectivity stats. Hosts h20–h24 only
+    ever appear as targets (pure sinks → NULL reciprocity)."""
+    from warcsum_spark.operators.hostgraph import host_edges, host_graph_stats
+
+    ev = _t(spark, sf_dir, "events")
+    links = ev.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("user_id") + F.col("event_id")) % 25).cast("string"),
+            F.lit(".test/x/"),
+            (F.col("event_id") % 7).cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_graph_stats(host_edges(links))
+
+
+ORACLE_HOST_GRAPH = """
+WITH links AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS src_host,
+         'h' || CAST((user_id + event_id) % 25 AS VARCHAR) || '.test' AS dst_host
+  FROM events
+), e AS (
+  SELECT src_host, dst_host, count(*) AS n_links
+  FROM links WHERE src_host <> dst_host
+  GROUP BY src_host, dst_host
+), out_side AS (
+  SELECT e.src_host AS host, count(*) AS out_degree,
+         sum(e.n_links) AS out_links, count(b.src_host) AS reciprocal
+  FROM e LEFT JOIN e b
+    ON e.src_host = b.dst_host AND e.dst_host = b.src_host
+  GROUP BY e.src_host
+), in_side AS (
+  SELECT dst_host AS host, count(*) AS in_degree, sum(n_links) AS in_links
+  FROM e GROUP BY dst_host
+)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree,
+       CAST(coalesce(out_links, 0) AS BIGINT) AS out_links,
+       CAST(coalesce(in_links, 0) AS BIGINT) AS in_links,
+       coalesce(reciprocal, 0) AS reciprocal,
+       round(reciprocal / CAST(out_degree AS DOUBLE), 6) AS reciprocity
+FROM out_side o FULL OUTER JOIN in_side i ON o.host = i.host
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2797,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_traps": q_crawl_traps,
         "lm_perplexity": q_lm_perplexity,
         "dsir_scores": q_dsir_scores,
+        "host_graph": q_host_graph,
     }
 
 
@@ -2861,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_traps": ORACLE_CRAWL_TRAPS,
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "dsir_scores": ORACLE_DSIR,
+        "host_graph": ORACLE_HOST_GRAPH,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -54,6 +54,11 @@ HEADLINE = [
     "anchor_text",
     "recrawl_schedule",
     "host_budgets",
+    "cdx_index",
+    "crawl_traps",
+    "lm_perplexity",
+    "dsir_scores",
+    "host_graph",
 ]
 
 

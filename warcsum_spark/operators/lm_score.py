@@ -41,9 +41,13 @@ Plan shape at 100 TB (every exchange slim-keyed):
 4. model: one (v, w) agg over the reference stream; context totals
    C(v) fall out of a window over the AGGREGATED model table (no
    second corpus pass);
-5. scoring: bigram-keyed join doc-stream ⋈ model (sort-merge on slim
-   keys; unseen pairs coalesce to 0), context join is broadcast
-   (≤ V+1 rows), then one doc-keyed agg.
+5. scoring: the model is ≤ (V+1)² rows BY CONSTRUCTION (clipped
+   vocab), so for practical V it broadcasts and scoring is fully
+   map-side (auto below ``broadcast_model_max_vocab``; forced either
+   way via ``broadcast_model``). Past that, a sort-merge join on the
+   slim (v, w) keys; unseen pairs coalesce to 0 either way. The
+   context join is always broadcast (≤ V+1 rows); one doc-keyed agg
+   closes the plan.
 """
 
 from __future__ import annotations
@@ -130,6 +134,8 @@ def lm_perplexity(
     text_col: str = "text",
     vocab_size: int = 10_000,
     alpha: float = 0.1,
+    broadcast_model: bool | None = None,
+    broadcast_model_max_vocab: int = 4096,
 ) -> DataFrame:
     """(doc_col, n_bigrams, avg_logprob, perplexity) for every doc.
     ``reference`` defaults to ``docs`` itself (self-perplexity — useful
@@ -143,9 +149,14 @@ def lm_perplexity(
 
     bg = _bigram_stream(docs, [doc_col], text_col)
     bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+    mdl = model.select("v", "w", "c_vw")
+    if broadcast_model or (
+        broadcast_model is None and vocab_size <= broadcast_model_max_vocab
+    ):
+        mdl = F.broadcast(mdl)
     denom_add = F.lit(alpha * (vocab_size + 1))
     scored = (
-        bg.join(model.select("v", "w", "c_vw"), ["v", "w"], "left")
+        bg.join(mdl, ["v", "w"], "left")
         .join(F.broadcast(contexts), "v", "left")
         .select(
             doc_col,

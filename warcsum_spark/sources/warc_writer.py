@@ -61,6 +61,91 @@ def _record(uri: str, date: str, payload: bytes, content_type: str) -> bytes:
     return b"\r\n".join(lines) + b"\r\n\r\n" + body + b"\r\n\r\n"
 
 
+def _conversion_record(uri: str, date: str, text: bytes) -> bytes:
+    """One WET-style conversion record (the Common-Crawl companion
+    format: extracted text re-framed as WARC so the same tooling walks
+    it). No HTTP block — the payload IS the converted text."""
+    b32 = b32encode(sha1(text).digest()).decode().rstrip("=")
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: text/plain",
+        b"WARC-Payload-Digest: sha1:" + b32.encode(),
+        b"Content-Length: " + str(len(text)).encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + text + b"\r\n\r\n"
+
+
+def _run_partition_writer(src: DataFrame, out_dir: str, prefix: str, suffix: str, record):
+    """mapInPandas runner shared by the WARC and WET sinks: one archive
+    per non-empty partition, members in row order, null payloads
+    skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh = None
+        path = None
+        n = 0
+        for pdf in batches:
+            for uri, payload, date, pid in zip(
+                pdf["_uri"], pdf["_payload"], pdf["_date"], pdf["_pid"]
+            ):
+                if payload is None:
+                    continue
+                if fh is None:
+                    path = os.path.join(
+                        out_dir, f"{prefix}-{int(pid):05d}{suffix}"
+                    )
+                    os.makedirs(out_dir, exist_ok=True)
+                    fh = open(path, "wb")
+                member = record(str(uri), str(date), payload)
+                fh.write(gzip.compress(member, compresslevel=6, mtime=0))
+                n += 1
+        if fh is None:
+            return
+        fh.close()
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "bytes": [os.path.getsize(path)]}
+        )
+
+    return src.mapInPandas(run, schema=WRITE_MANIFEST_SCHEMA)
+
+
+def write_wet_archives(
+    docs: DataFrame,
+    out_dir: str,
+    prefix: str = "crawl",
+    uri_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    default_date: str = "2015-01-01T00:00:00Z",
+) -> DataFrame:
+    """T42 — WET sink: extracted text as gzip-member-per-record
+    ``.warc.wet.gz`` conversion archives (what Common Crawl ships next
+    to every WARC; the input most text pipelines actually read). Same
+    partition-grain write and lazy manifest contract as
+    ``write_warc_archives``; this engine's own scanner re-ingests the
+    output (conversion members parse like any WARC member)."""
+    cols = [
+        F.col(uri_col).alias("_uri"),
+        F.encode(F.col(text_col), "UTF-8").alias("_payload"),
+        (
+            F.date_format(F.col(date_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            if date_col
+            else F.lit(default_date)
+        ).alias("_date"),
+        F.spark_partition_id().alias("_pid"),
+    ]
+    return _run_partition_writer(
+        docs.select(*cols),
+        out_dir,
+        prefix,
+        ".warc.wet.gz",
+        lambda uri, date, payload: _conversion_record(uri, date, bytes(payload)),
+    )
+
+
 def write_warc_archives(
     pages: DataFrame,
     out_dir: str,
@@ -86,32 +171,12 @@ def write_warc_archives(
         ).alias("_date"),
         F.spark_partition_id().alias("_pid"),
     ]
-    src = pages.select(*cols)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one archive per partition: a partition is streamed through a
-        # single append handle, members in row order
-        fh = None
-        path = None
-        n = 0
-        for pdf in batches:
-            for uri, payload, date, pid in zip(
-                pdf["_uri"], pdf["_payload"], pdf["_date"], pdf["_pid"]
-            ):
-                if payload is None:
-                    continue
-                if fh is None:
-                    path = os.path.join(out_dir, f"{prefix}-{int(pid):05d}.warc.gz")
-                    os.makedirs(out_dir, exist_ok=True)
-                    fh = open(path, "wb")
-                member = _record(str(uri), str(date), bytes(payload), content_type)
-                fh.write(gzip.compress(member, compresslevel=6, mtime=0))
-                n += 1
-        if fh is None:
-            return
-        fh.close()
-        yield pd.DataFrame(
-            {"path": [path], "n_records": [n], "bytes": [os.path.getsize(path)]}
-        )
-
-    return src.mapInPandas(run, schema=WRITE_MANIFEST_SCHEMA)
+    return _run_partition_writer(
+        pages.select(*cols),
+        out_dir,
+        prefix,
+        ".warc.gz",
+        lambda uri, date, payload: _record(
+            uri, date, bytes(payload), content_type
+        ),
+    )
