@@ -100,3 +100,58 @@ def test_detect_traps_plan_is_python_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_frontier_round_trap_hook(spark):
+    """traps= on frontier_round: trapped hosts are not scheduled (drop)
+    or scheduled at most trap_keep URLs (throttle); their URLs stay
+    PENDING either way (clearing the flag later re-admits them), and an
+    all-false trap table is a no-op vs no traps at all."""
+    from warcsum_spark.frontier.superstep import frontier_round, init_frontier
+    from warcsum_spark.frontier.traps import detect_traps
+
+    seeds = spark.createDataFrame(
+        [(f"http://trap.test/d/{i}", float(i)) for i in range(60)]
+        + [(f"http://ok.test/p{chr(97 + i)}", 1.0) for i in range(6)],
+        "url string, priority double",
+    )
+    lg = spark.createDataFrame(
+        [], "url string, outlinks array<string>"
+    )
+    urls = seeds.selectExpr(
+        "regexp_extract(url, '^https?://([^/]+)', 1) AS host", "url"
+    )
+    traps = detect_traps(urls, min_urls=50, min_template_urls=30, min_share=0.5)
+
+    # drop mode
+    state, sched = frontier_round(
+        spark, init_frontier(spark, seeds), lg, traps=traps, default_budget=10
+    )
+    hosts = {r["host"] for r in sched.collect()}
+    assert hosts == {"ok.test"}
+    pend = {r["host"] for r in state.pending.collect()}
+    assert pend == {"trap.test"}  # trapped URLs survive as pending
+
+    # throttle mode: top trap_keep by (priority DESC, url ASC)
+    state2, sched2 = frontier_round(
+        spark, init_frontier(spark, seeds), lg,
+        traps=traps, trap_keep=3, default_budget=10,
+    )
+    got = sorted(
+        r["url"] for r in sched2.filter("host = 'trap.test'").collect()
+    )
+    assert got == [f"http://trap.test/d/{i}" for i in (57, 58, 59)]
+    assert sched2.filter("host = 'ok.test'").count() == 6
+
+    # all-false trap table == no trap argument
+    no_traps = traps.selectExpr(
+        "host", "n_urls", "n_templates", "top_template", "top_urls",
+        "top_share", "false AS is_trap"
+    )
+    _, sched_a = frontier_round(
+        spark, init_frontier(spark, seeds), lg, traps=no_traps, default_budget=10
+    )
+    _, sched_b = frontier_round(
+        spark, init_frontier(spark, seeds), lg, default_budget=10
+    )
+    assert sorted(map(tuple, sched_a.collect())) == sorted(map(tuple, sched_b.collect()))

@@ -73,6 +73,8 @@ def frontier_round(
     politeness: DataFrame | None = None,
     blocklist=None,  # Sequence[str] (inline literal) | DataFrame(domain)
     block_patterns: tuple[str, ...] = (),
+    traps: DataFrame | None = None,  # detect_traps() output
+    trap_keep: int | None = None,  # None = drop trapped hosts entirely
     default_budget: int = 2,
     depth_decay: float = 0.5,
     use_bloom: bool | str = False,  # False | True (bloom) | "cuckoo"
@@ -119,6 +121,21 @@ def frontier_round(
             candidates,
             [] if blocklist is None else blocklist,
             url_patterns=block_patterns,
+        )
+    if traps is not None:
+        # same discovered→scheduled placement as the blocklist: trapped
+        # hosts' URLs are not scheduled (or only their top trap_keep are)
+        # but stay pending — a host cleared of its trap flag on a later
+        # round becomes schedulable again. Detection itself is the
+        # caller's cadence (frontier/traps.detect_traps over pending or
+        # the link stream), like robots/politeness refresh.
+        from warcsum_spark.frontier.traps import trap_gate
+
+        candidates = trap_gate(
+            candidates,
+            traps,
+            keep_per_trap_host=trap_keep,
+            salt_buckets=salt_buckets,
         )
     if robots is not None:
         candidates = robots_allowed(candidates, robots)
