@@ -186,3 +186,31 @@ def test_cli_crawl_parquet_branch_never_collects(spark, tmp_path, monkeypatch):
     written = sorted(_glob.glob(f"{out}/scheduled_round_*"))
     assert len(written) == 2
     assert spark.read.parquet(written[0]).count() > 0
+
+
+def test_cli_cdx_matches_oracle(spark, tmp_path, capsys):
+    """`cdx` subcommand: SURT-keyed, globally ordered 7-field lines whose
+    geometry/digests equal the pure-Python oracle manifest's."""
+    d = _archives(tmp_path)
+    rc = main(["cdx", d, "-H", "sha1", "-o", "-"])
+    assert rc == 0
+    got = [l for l in capsys.readouterr().out.splitlines() if l]
+
+    def surt(url):
+        rest = url.split("://", 1)[1]
+        host = rest.split("/", 1)[0].split(":")[0].lower()
+        host = host[4:] if host.startswith("www.") else host
+        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+        return ",".join(reversed(host.split("."))) + ")" + path.lower().split("#")[0]
+
+    paths = sorted(glob.glob(os.path.join(d, "**", "*.warc.gz"), recursive=True))
+    expect = []
+    for line in manifest_lines(oracle_manifest(paths, algo="sha1", force=True)):
+        f, off, length, uri, date, digest = line.split(" ")[:6]
+        if uri == "-" or date == "-":
+            continue  # un-indexable records (no URI/date headers)
+        ts = date.replace("-", "").replace(":", "").replace("T", "").replace("Z", "")
+        expect.append(
+            f"{surt(uri)} {ts} {uri} {digest.split(':', 1)[1]} {f} {off} {length}"
+        )
+    assert got == sorted(expect)

@@ -15,6 +15,9 @@ Flag parity (reference man pages → subcommands):
 * ``crawl``    — the frontier scheduler (north_rule): seeds + link-graph →
   per-round scheduled lists, optional bloom/cuckoo seen tier and
   checkpointing.
+* ``cdx``      — no reference counterpart (the C suite stops at the
+  manifest): the SURT-keyed CDX lookup index over exactly the records
+  the manifest covers, globally (urlkey, timestamp)-ordered.
 
 Output convention: ``-o DIR`` writes Spark text partitions under DIR
 (scales to any size); ``-o -`` collects and prints lines to stdout in the
@@ -93,6 +96,35 @@ def _cmd_split(args: argparse.Namespace) -> int:
     spark = get_spark(cores=args.cores)
     manifest = read_manifest_text(spark, args.inputs[0])
     _emit_text(manifest_text(manifest.repartition(args.num_chunks, "digest")), args.output)
+    return 0
+
+
+def _cmd_cdx(args: argparse.Namespace) -> int:
+    from warcsum_spark.operators.cdx import cdx_index, cdx_text_lines
+    from warcsum_spark.operators.digest_manifest import digest_manifest
+    from warcsum_spark.session import get_spark
+    from warcsum_spark.sources.warc import scan_warc_members
+
+    spark = get_spark(cores=args.cores)
+    # index exactly the records the manifest covers (warcsum's P5/P6
+    # response filters) — the CDX is the manifest's lookup companion
+    manifest = digest_manifest(
+        scan_warc_members(spark, args.inputs),
+        algo=args.hash,
+        force=True,
+        keep_payload=False,
+    )
+    captures = manifest.filter(
+        (F.col("uri") != "-") & (F.col("date") != "-")
+    ).select(
+        F.col("uri").alias("url"),
+        F.to_timestamp("date").alias("ts"),
+        "warcfile",
+        "offset",
+        "length",
+        F.substring_index("digest", ":", -1).alias("digest"),
+    )
+    _emit_text(cdx_text_lines(cdx_index(captures)), args.output)
     return 0
 
 
@@ -223,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("-n", "--num-chunks", type=int, default=0)
     sp.set_defaults(fn=_cmd_dedup)
+
+    sp = add_parser("cdx", help="CDX web-archive index (SURT-keyed) from .warc.gz")
+    sp.add_argument("inputs", nargs="+", help=".warc.gz files or directories")
+    sp.add_argument(
+        "-H", "--hash", default="sha1", choices=["md5", "sha1", "sha256", "sha512"]
+    )
+    sp.add_argument("-o", "--output", required=True, help="output dir, or - for stdout")
+    sp.set_defaults(fn=_cmd_cdx)
 
     sp = add_parser("split", help="warcsumsplit: cluster-preserving re-chunk")
     sp.add_argument("inputs", nargs=1, help="text manifest dir")
