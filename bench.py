@@ -177,6 +177,11 @@ QUERY_PRIMARY_TABLE = {
     "anchor_text": "documents",
     "recrawl_schedule": "events",
     "host_budgets": "events",
+    "cdx_index": "documents",
+    "crawl_traps": "events",
+    "lm_perplexity": "documents",
+    "dsir_scores": "documents",
+    "host_graph": "events",
 }
 
 
@@ -190,7 +195,7 @@ def _table_rows(sf_dir: str, table: str) -> int:
 
 
 def run_scale_suite(base_dir: str, cpus: str) -> None:
-    """The 15-query suite at sf0.1 AND at a deterministically amplified
+    """The full headline suite at sf0.1 AND at a deterministically amplified
     input (tools/gen_scale.py, default ×10 ≈ sf1), same session and
     config — per-query rows/sec at both scales plus the throughput
     ratio. This is the suite-wide form of the amortization evidence: at

@@ -35,6 +35,14 @@ Plan shape at 100 TB:
    whatever the corpus size; scoring is a map-side join + one
    doc-keyed agg. Contrast with the LM scorer, whose (v, w) model
    must shuffle: hashing is what buys the broadcast.
+
+The raw corpus is extracted/hashed ONCE even though both the histogram
+and the scoring need it: ``dsir_scores`` aggregates to per-(doc,
+bucket) counts first and derives the raw histogram from that same
+aggregate, so the two consumers share one identical Exchange subtree
+and Spark's exchange reuse (ReusedExchange, on by default) computes the
+expensive bigram+md5 stream a single time. The naive shape — histogram
+from its own id-less stream — re-runs the full extraction per consumer.
 """
 
 from __future__ import annotations
@@ -67,19 +75,27 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 0.1,
+    _raw_hist: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, lw) — per-bucket log importance weight, ≤ ``n_buckets``
     rows (broadcast-sized by construction): the full outer join covers
     every bucket observed in EITHER corpus, which is every bucket
     ``dsir_scores`` can look up as long as it scores the same ``raw``
-    frame the histogram was built from (its invariant)."""
+    frame the histogram was built from (its invariant).
+
+    ``_raw_hist`` (internal): a precomputed ``(bucket, c_r)`` histogram
+    of ``raw`` — ``dsir_scores`` passes the one derived from its own
+    per-doc aggregate so the raw extraction pass is shared (see module
+    docstring); standalone callers leave it None."""
     t = (
         _bucket_stream(target, [], text_col, n_buckets)
         .groupBy("bucket")
         .agg(F.count("*").alias("c_t"))
     )
     r = (
-        _bucket_stream(raw, [], text_col, n_buckets)
+        _raw_hist
+        if _raw_hist is not None
+        else _bucket_stream(raw, [], text_col, n_buckets)
         .groupBy("bucket")
         .agg(F.count("*").alias("c_r"))
     )
@@ -112,15 +128,34 @@ def dsir_scores(
 ) -> DataFrame:
     """(doc_col, n_features, log_weight, avg_log_weight) for every raw
     doc. Select by ``log_weight`` rank (top slice) or resample by it."""
+    # Null-id docs can never be scored (the spine left join can't match
+    # them), so drop them from the feature stream up front. This also
+    # makes the two consumers of ``g`` canonically IDENTICAL: the spine
+    # join pushes an isnotnull(doc_col) filter into the scoring branch,
+    # and without the explicit filter here the raw-histogram branch
+    # lacks it, which defeats ReuseExchange and re-runs the extraction.
+    keyed = raw.filter(F.col(doc_col).isNotNull())
+    feats = _bucket_stream(keyed, [doc_col], text_col, n_buckets)
+    # per-(doc, bucket) counts: the ONE exchange over the raw stream.
+    # Both the raw histogram and the scoring join hang off this same
+    # subtree, so ReusedExchange runs the bigram+md5 extraction once.
+    g = feats.groupBy(doc_col, "bucket").agg(F.count("*").alias("_n"))
+    raw_hist = g.groupBy("bucket").agg(F.sum("_n").alias("c_r"))
     weights = dsir_weights(
-        target, raw, text_col=text_col, n_buckets=n_buckets, alpha=alpha
+        target,
+        raw,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        _raw_hist=raw_hist,
     )
-    feats = _bucket_stream(raw, [doc_col], text_col, n_buckets)
-    scored = feats.join(F.broadcast(weights), "bucket", "left")
+    scored = g.join(F.broadcast(weights), "bucket", "left")
     agg = scored.groupBy(doc_col).agg(
-        F.count("*").alias("n_features"),
-        F.round(F.sum("lw"), 6).alias("log_weight"),
-        F.round(F.sum("lw") / F.count("*"), 6).alias("avg_log_weight"),
+        F.sum("_n").alias("n_features"),
+        F.round(F.sum(F.col("lw") * F.col("_n")), 6).alias("log_weight"),
+        F.round(
+            F.sum(F.col("lw") * F.col("_n")) / F.sum("_n"), 6
+        ).alias("avg_log_weight"),
     )
     spine = raw.select(doc_col)
     return spine.join(agg, doc_col, "left").select(
