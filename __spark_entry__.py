@@ -2615,7 +2615,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return lm_perplexity(
         docs,
-        reference=docs.filter(F.col("lang") == "en"),
+        reference_pred=F.col("lang") == "en",
         vocab_size=100,
         alpha=0.1,
     )

@@ -131,3 +131,56 @@ def test_lm_plan_broadcasts_and_stays_jvm(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # vocab/context joins never shuffle docs
+
+
+def test_lm_fused_pred_matches_two_frame_path(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the rug"),
+            (3, "de", "der hund sitzt auf dem teppich"),
+            (4, "en", "a cat and a dog"),
+            (5, "de", "qq ww"),
+            (6, "en", "one"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kw = dict(vocab_size=8, alpha=0.3)
+    fused = lm_perplexity(
+        docs, reference_pred=F.col("lang") == "en", **kw
+    )
+    twoframe = lm_perplexity(
+        docs, reference=docs.filter(F.col("lang") == "en"), **kw
+    )
+    key = lambda rows: {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in rows
+    }
+    assert key(fused.collect()) == key(twoframe.collect())
+
+
+def test_lm_fused_extracts_corpus_once(spark):
+    """The fused path's bigram extraction subtree is shared between the
+    model and the scoring branches (ReuseExchange) — exactly one
+    extraction stage over the corpus (plus the word-grain vocab pass)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"w{i} x y z w{i} x") for i in range(60)],
+        "doc_id long, lang string, text string",
+    )
+    res = lm_perplexity(
+        docs, reference_pred=F.col("lang") == "en", vocab_size=6
+    )
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    gen_stages = set(re.findall(r"\*\((\d+)\) Generate", plan))
+    # one word-grain Generate (vocab) + one bigram Generate (shared)
+    assert len(gen_stages) == 2, plan
+    assert "ReusedExchange" in plan
+
+
+def test_lm_pred_and_reference_mutually_exclusive(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_perplexity(docs, reference=docs, reference_pred=F.lit(True))

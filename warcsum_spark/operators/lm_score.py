@@ -103,11 +103,18 @@ def lm_vocab(
 
 def _map_vocab(stream: DataFrame, vocab: DataFrame, col: str) -> DataFrame:
     hit = vocab.select(F.col("term").alias(col), F.lit(True).alias("_in"))
+    # coalesce with a literal, not when/otherwise: the output column is
+    # then provably NON-NULLABLE, so the isnotnull(v)/isnotnull(w)
+    # predicates the downstream model join pushes into its build side
+    # constant-fold away instead of surviving as filters that make the
+    # model/scoring subtrees canonically different (which would defeat
+    # the fused path's exchange reuse and re-run the extraction)
+    mapped = F.coalesce(
+        F.when(F.col("_in").isNotNull(), F.col(col)), F.lit(UNK)
+    )
     return (
         stream.join(F.broadcast(hit), col, "left")
-        .withColumn(
-            col, F.when(F.col("_in").isNotNull(), F.col(col)).otherwise(F.lit(UNK))
-        )
+        .withColumn(col, mapped)
         .drop("_in")
     )
 
@@ -136,39 +143,89 @@ def lm_perplexity(
     alpha: float = 0.1,
     broadcast_model: bool | None = None,
     broadcast_model_max_vocab: int = 4096,
+    reference_pred: Column | None = None,
 ) -> DataFrame:
     """(doc_col, n_bigrams, avg_logprob, perplexity) for every doc.
     ``reference`` defaults to ``docs`` itself (self-perplexity — useful
     for outlier mining); CCNet-style filtering passes a trusted corpus.
-    """
-    if reference is None:
-        reference = docs
-    vocab = lm_vocab(reference, text_col, vocab_size)
-    model = train_bigram_lm(reference, vocab, text_col)
-    contexts = model.select("v", "c_v").distinct()
 
-    bg = _bigram_stream(docs, [doc_col], text_col)
-    bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+    When the reference is a row-subset of ``docs`` itself, pass its
+    predicate as ``reference_pred`` (e.g. ``F.col("lang") == "en"``)
+    instead of a filtered frame: the fused path then extracts + vocab-
+    maps the corpus bigrams ONCE, aggregates to per-(doc, v, w) counts,
+    and derives the model from that same aggregate with a conditional
+    sum — a ``.filter(_is_ref)`` would be pushed below the aggregate by
+    Catalyst and split the subtree back into two extraction passes, so
+    reference membership is folded into the aggregate instead and both
+    consumers share one Exchange (ReuseExchange, same shape as
+    operators/dsir.py). ``reference_pred`` and ``reference`` are
+    mutually exclusive.
+    """
+    if reference_pred is not None and reference is not None:
+        raise ValueError("pass reference or reference_pred, not both")
+    if reference is not None:
+        # general two-corpus path: the reference is a different frame,
+        # nothing to share with the scoring stream
+        vocab = lm_vocab(reference, text_col, vocab_size)
+        model = train_bigram_lm(reference, vocab, text_col)
+        bg = _bigram_stream(docs, [doc_col], text_col)
+        bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+        scored = bg.groupBy(doc_col, "v", "w").agg(
+            F.count("*").alias("_n")
+        )
+    else:
+        pred = F.lit(True) if reference_pred is None else reference_pred
+        vocab = lm_vocab(docs.filter(pred), text_col, vocab_size)
+        # null-id docs can never be scored (the spine left join can't
+        # match them); the explicit filter also keeps the two consumers
+        # of the aggregate canonically identical once the spine join
+        # pushes its own isnotnull — see operators/dsir.py
+        keyed = docs.filter(F.col(doc_col).isNotNull()).withColumn(
+            "_is_ref", F.coalesce(pred.cast("boolean"), F.lit(False))
+        )
+        bg = _bigram_stream(keyed, [doc_col, "_is_ref"], text_col)
+        bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+        g = bg.groupBy(doc_col, "_is_ref", "v", "w").agg(
+            F.count("*").alias("_n")
+        )
+        # conditional sum, NOT g.filter("_is_ref"): a filter on the
+        # grouping column would be pushed below the aggregate and
+        # defeat the exchange reuse
+        model = (
+            g.groupBy("v", "w")
+            .agg(
+                F.sum(
+                    F.when(F.col("_is_ref"), F.col("_n")).otherwise(F.lit(0))
+                ).alias("c_vw")
+            )
+            .filter(F.col("c_vw") > 0)
+        )
+        model = model.withColumn(
+            "c_v", F.sum("c_vw").over(Window.partitionBy("v"))
+        )
+        scored = g.drop("_is_ref")
+
+    contexts = model.select("v", "c_v").distinct()
     mdl = model.select("v", "w", "c_vw")
     if broadcast_model or (
         broadcast_model is None and vocab_size <= broadcast_model_max_vocab
     ):
         mdl = F.broadcast(mdl)
     denom_add = F.lit(alpha * (vocab_size + 1))
+    lp = F.log(
+        (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c_v"), F.lit(0)) + denom_add)
+    )
     scored = (
-        bg.join(mdl, ["v", "w"], "left")
+        scored.join(mdl, ["v", "w"], "left")
         .join(F.broadcast(contexts), "v", "left")
-        .select(
-            doc_col,
-            F.log(
-                (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("c_v"), F.lit(0)) + denom_add)
-            ).alias("_lp"),
-        )
+        .select(doc_col, F.col("_n"), lp.alias("_lp"))
     )
     agg = scored.groupBy(doc_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("_lp") / F.count("*"), 6).alias("avg_logprob"),
+        F.sum("_n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("_lp") * F.col("_n")) / F.sum("_n"), 6
+        ).alias("avg_logprob"),
     )
     spine = docs.select(doc_col)
     return (
