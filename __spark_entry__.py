@@ -2784,6 +2784,49 @@ FROM out_side o FULL OUTER JOIN in_side i ON o.host = i.host
 """
 
 
+def q_host_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T43 (operators/hll.py): per-host distinct-URL estimates via a
+    relational HyperLogLog sketch. URLs are synthesized per host from
+    events (same deterministic recipe as the host graph), sketched per
+    (host, crawl batch), merged across batches with union+max on the
+    register table only, then estimated — exercising the full
+    sketch → merge → estimate surface in one lazy plan. The oracle
+    runs the identical register math directly (max is associative, so
+    batch-then-merge ≡ direct)."""
+    from warcsum_spark.operators.hll import hll_estimate, hll_merge, hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("event_id") % 1000).cast("string"),
+        ).alias("url"),
+        (F.col("event_id") % 2).alias("crawl_batch"),
+    )
+    per_batch = hll_sketch(pages, ["host", "crawl_batch"], "url")
+    merged = hll_merge(per_batch, key_cols=["host", "bucket"])
+    return hll_estimate(merged, ["host"]).orderBy("host")
+
+
+def _oracle_host_url_cardinality() -> str:
+    from warcsum_spark.operators.hll import hll_oracle_sql
+
+    cte = (
+        "src AS (\n"
+        "  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,\n"
+        "         'http://h' || CAST(user_id % 20 AS VARCHAR) || '.test/p/'\n"
+        "           || CAST(event_id % 1000 AS VARCHAR) AS url\n"
+        "  FROM events\n"
+        ")"
+    )
+    return hll_oracle_sql(cte, "host", "url", key_alias="host")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2852,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_scores": q_dsir_scores,
         "host_graph": q_host_graph,
+        "host_url_cardinality": q_host_url_cardinality,
     }
 
 
@@ -2917,6 +2961,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": ORACLE_LM_PERPLEXITY,
         "dsir_scores": ORACLE_DSIR,
         "host_graph": ORACLE_HOST_GRAPH,
+        "host_url_cardinality": _oracle_host_url_cardinality(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
