@@ -2827,6 +2827,62 @@ def _oracle_host_url_cardinality() -> str:
     return hll_oracle_sql(cte, "host", "url", key_alias="host")
 
 
+#: hosts covering every PSL rule kind: normal multi-label suffixes,
+#: wildcard (*.ck), exception (!www.ck), private-section rules
+#: (github.io / s3.amazonaws.com / blogspot.com), unknown TLD
+#: (default rule), and a bare TLD (NULL registrable domain).
+_PSL_HOSTS = [
+    "www.example.com",
+    "news.bbc.co.uk",
+    "a.github.io",
+    "x.y.ck",
+    "www.ck",
+    "example.unknown",
+    "ck",
+    "deep.sub.archive.org",
+    "b1.s3.amazonaws.com",
+    "blog.blogspot.com",
+]
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44 (functions/domains.py): public-suffix-list registrable
+    domains (eTLD+1) over hosts synthesized from events. Zero-shuffle
+    plan: four per-level broadcast joins + codegen'd greatest — host
+    strings never exchange."""
+    from warcsum_spark.functions.domains import (
+        psl_rules_df,
+        with_registrable_domain,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hosts = F.array(*[F.lit(h) for h in _PSL_HOSTS])
+    src = ev.select(
+        F.col("event_id"),
+        F.element_at(hosts, (F.col("user_id") % 10 + 1).cast("int")).alias(
+            "host"
+        ),
+    )
+    out = with_registrable_domain(src, psl_rules_df(spark), "host")
+    return out.select(
+        "host", "event_id", "public_suffix", "registrable_domain"
+    ).orderBy("event_id")
+
+
+def _oracle_registrable_domains() -> str:
+    from warcsum_spark.functions.domains import psl_oracle_sql
+
+    hosts_sql = ", ".join(f"'{h}'" for h in _PSL_HOSTS)
+    cte = (
+        "src AS (\n"
+        f"  SELECT event_id, list_extract([{hosts_sql}],\n"
+        "         CAST(user_id % 10 + 1 AS INT)) AS host\n"
+        "  FROM events\n"
+        ")"
+    )
+    return psl_oracle_sql(cte, "host", extra_cols=", event_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2896,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "host_graph": q_host_graph,
         "host_url_cardinality": q_host_url_cardinality,
+        "registrable_domains": q_registrable_domains,
     }
 
 
@@ -2962,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": ORACLE_DSIR,
         "host_graph": ORACLE_HOST_GRAPH,
         "host_url_cardinality": _oracle_host_url_cardinality(),
+        "registrable_domains": _oracle_registrable_domains(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

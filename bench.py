@@ -59,6 +59,8 @@ HEADLINE = [
     "lm_perplexity",
     "dsir_scores",
     "host_graph",
+    "host_url_cardinality",
+    "registrable_domains",
 ]
 
 
@@ -182,6 +184,8 @@ QUERY_PRIMARY_TABLE = {
     "lm_perplexity": "documents",
     "dsir_scores": "documents",
     "host_graph": "events",
+    "host_url_cardinality": "events",
+    "registrable_domains": "events",
 }
 
 

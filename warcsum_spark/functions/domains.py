@@ -1,0 +1,235 @@
+"""T44 — registrable-domain (eTLD+1) extraction with public-suffix-list
+semantics.
+
+Crawlers that group politeness, budgets, and dedup scopes by raw
+hostname get both grains wrong: ``a.blogspot.com`` and
+``b.blogspot.com`` are different sites (the suffix list marks
+``blogspot.com`` public), while ``news.bbc.co.uk`` and
+``www.bbc.co.uk`` are the same site (``co.uk`` is the suffix, so the
+registrable domain is ``bbc.co.uk``). The public algorithm
+(publicsuffix.org/list/ — Mozilla's PSL) is: among all rules whose
+labels suffix-match the host, exception rules prevail, otherwise the
+rule with the most labels; a wildcard ``*.x`` counts the ``*`` as one
+label; no match falls back to the ``*`` default (the bare TLD is the
+suffix). Registrable domain = suffix + one more label.
+
+Spark-first shape — **zero exchanges, zero explode**. PSL rules are at
+most a handful of labels deep, so instead of exploding every label
+suffix of every host and regrouping (an exchange keyed back by row),
+we derive the last-k-labels string for k = 1..max_depth as plain
+columns and LEFT BROADCAST-join the (pre-aggregated, conflict-free)
+rule table once per level. The prevailing rule is then a ``greatest``
+over per-level scores — pure codegen'd expressions. At 10^10 URLs
+this costs max_depth broadcast hash joins inside one map stage; the
+host strings never shuffle.
+
+The bundled ``DEFAULT_RULES`` is a small representative subset of the
+public list (all three rule kinds) for tests and the driver gate;
+production loads the full list file via ``parse_psl`` (handles
+comments and the private-domain section the same way the public
+algorithm does — they are ordinary rules).
+
+No reference counterpart (warcsum never parses hosts); algorithm per
+publicsuffix.org/list/ ("Definitions" + "Algorithm").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: deepest rule the bundled subset / gate query needs; the full PSL's
+#: deepest rule is 5 labels — pass max_depth=5 (or 6) when loading it.
+DEFAULT_MAX_DEPTH = 4
+
+#: representative public-suffix rules: normal, wildcard, exception.
+DEFAULT_RULES = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co",
+    "us", "uk", "de", "fr", "jp", "cn", "ru", "in", "br", "au", "test",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "ltd.uk", "plc.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "co.in", "net.in", "org.in",
+    "ck", "*.ck", "!www.ck",
+    "bd", "*.bd",
+    # private-section style rules: each subdomain is its own site
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+    "compute.amazonaws.com",
+]
+
+
+def parse_psl(lines: list[str]) -> list[str]:
+    """Strip comments/blank lines from a public-suffix-list file body
+    (both ICANN and private sections are ordinary rules, exactly as
+    the published algorithm treats them)."""
+    out = []
+    for ln in lines:
+        s = ln.strip()
+        if not s or s.startswith("//"):
+            continue
+        out.append(s.lower())
+    return out
+
+
+def psl_rules_df(spark: SparkSession, rules: list[str] | None = None) -> DataFrame:
+    """(suffix, nlabels, has_normal, has_wildcard, has_exception) —
+    one row per distinct suffix string so the per-level joins below
+    are 1:{0,1} and can never duplicate input rows. Wildcard rules
+    ``*.x`` are stored under their base ``x`` (the ``*`` is re-added
+    as +1 matched label at join time); exception rules ``!y.x`` under
+    ``y.x``."""
+    flags: dict[str, list] = {}
+    for r in rules if rules is not None else DEFAULT_RULES:
+        if r.startswith("!"):
+            base, kind = r[1:], "e"
+        elif r.startswith("*."):
+            base, kind = r[2:], "w"
+        else:
+            base, kind = r, "n"
+        f = flags.setdefault(base, [False, False, False])
+        f["nwe".index(kind)] = True
+    rows = [
+        (base, base.count(".") + 1, f[0], f[1], f[2])
+        for base, f in sorted(flags.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "suffix string, nlabels int, has_normal boolean, "
+        "has_wildcard boolean, has_exception boolean",
+    )
+
+
+#: exception rules outrank any length — encoded as a score offset
+_EXC = 1000
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> DataFrame:
+    """Append ``public_suffix`` and ``registrable_domain`` columns.
+
+    Per level k (last k labels of the host), a LEFT broadcast join
+    against the rule table yields at most one rule row; its score is
+
+    * exception  → _EXC + (k-1)   (suffix is one label shorter)
+    * wildcard   → k+1 if the host has more than k labels
+    * normal     → k
+
+    and the prevailing suffix length is ``greatest`` of all level
+    scores with the default-rule floor of 1. Hosts with no dot (bare
+    TLDs) and hosts equal to their public suffix get a NULL
+    registrable domain, per the public algorithm."""
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    out = df.withColumn("_labels", labels).withColumn("_n", n)
+
+    scores: list[Column] = [F.lit(1)]
+    for k in range(1, max_depth + 1):
+        cand = F.when(
+            F.col("_n") >= k,
+            F.concat_ws(".", F.slice(F.col("_labels"), -k, k)),
+        )
+        r = rules.where(F.col("nlabels") == k).select(
+            F.col("suffix").alias(f"_sfx{k}"),
+            F.col("has_normal").alias(f"_hn{k}"),
+            F.col("has_wildcard").alias(f"_hw{k}"),
+            F.col("has_exception").alias(f"_he{k}"),
+        )
+        out = out.withColumn(f"_cand{k}", cand).join(
+            F.broadcast(r), F.col(f"_cand{k}") == F.col(f"_sfx{k}"), "left"
+        )
+        scores.append(
+            F.when(F.col(f"_he{k}"), F.lit(_EXC + k - 1))
+            .when(F.col(f"_hw{k}") & (F.col("_n") > k), F.lit(k + 1))
+            .when(F.col(f"_hn{k}"), F.lit(k))
+        )
+
+    score = F.greatest(*scores)
+    ps_len = F.when(score >= _EXC, score - _EXC).otherwise(score)
+    public_suffix = F.concat_ws(".", F.slice(F.col("_labels"), -ps_len, ps_len))
+    etld1 = F.when(
+        F.col("_n") > ps_len,
+        F.concat_ws(
+            ".", F.slice(F.col("_labels"), -(ps_len + 1), ps_len + 1)
+        ),
+    )
+    drop = ["_labels", "_n"] + [
+        c
+        for k in range(1, max_depth + 1)
+        for c in (f"_cand{k}", f"_sfx{k}", f"_hn{k}", f"_hw{k}", f"_he{k}")
+    ]
+    return out.withColumn("public_suffix", public_suffix).withColumn(
+        "registrable_domain", etld1
+    ).drop(*drop)
+
+
+def psl_oracle_sql(
+    source_cte: str,
+    host_expr: str,
+    rules: list[str] | None = None,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    extra_cols: str = "",
+) -> str:
+    """The identical per-level match as ANSI SQL (DuckDB dialect),
+    generated beside the implementation so the engines cannot drift.
+    ``source_cte`` must define ``src`` with a column named
+    ``host_expr`` (a bare column name); ``extra_cols`` (e.g.
+    ``, event_id``) are bare src column names carried through."""
+    rule_rows = []
+    for r in rules if rules is not None else DEFAULT_RULES:
+        if r.startswith("!"):
+            base, kind = r[1:], "e"
+        elif r.startswith("*."):
+            base, kind = r[2:], "w"
+        else:
+            base, kind = r, "n"
+        rule_rows.append(f"('{base}', {base.count('.') + 1}, '{kind}')")
+    values = ",\n         ".join(rule_rows)
+    level_joins = []
+    level_scores = ["1"]
+    for k in range(1, max_depth + 1):
+        level_joins.append(
+            f"LEFT JOIN rules r{k}\n"
+            f"    ON r{k}.nlabels = {k} AND h.n >= {k}\n"
+            f"   AND r{k}.suffix = array_to_string(h.labels[-{k}:], '.')"
+        )
+        level_scores.append(
+            f"CASE WHEN r{k}.has_exception THEN {_EXC + k - 1} "
+            f"WHEN r{k}.has_wildcard AND h.n > {k} THEN {k + 1} "
+            f"WHEN r{k}.has_normal THEN {k} END"
+        )
+    joins = "\n  ".join(level_joins)
+    greatest = ", ".join(level_scores)
+    return f"""
+WITH {source_cte},
+raw_rules(suffix, nlabels, kind) AS (
+  VALUES {values}
+), rules AS (
+  SELECT suffix, nlabels,
+         bool_or(kind = 'n') AS has_normal,
+         bool_or(kind = 'w') AS has_wildcard,
+         bool_or(kind = 'e') AS has_exception
+  FROM raw_rules GROUP BY suffix, nlabels
+), h AS (
+  SELECT src.*,
+         string_split(lower({host_expr}), '.') AS labels,
+         len(string_split(lower({host_expr}), '.')) AS n
+  FROM src
+), scored AS (
+  SELECT h.*,
+         greatest({greatest}) AS score
+  FROM h
+  {joins}
+)
+SELECT {host_expr} AS host {extra_cols},
+       array_to_string(labels[-(CASE WHEN score >= {_EXC} THEN score - {_EXC} ELSE score END):], '.') AS public_suffix,
+       CASE WHEN n > (CASE WHEN score >= {_EXC} THEN score - {_EXC} ELSE score END)
+            THEN array_to_string(labels[-(CASE WHEN score >= {_EXC} THEN score - {_EXC} ELSE score END + 1):], '.')
+       END AS registrable_domain
+FROM scored
+"""
