@@ -2883,6 +2883,71 @@ def _oracle_registrable_domains() -> str:
     return psl_oracle_sql(cte, "host", extra_cols=", event_id")
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45 (operators/dust.py): mine parameter-irrelevance rules from
+    (url, digest) crawl evidence. Synth corpus: ``page`` changes
+    content (no-evidence when dropped — variant never crawled),
+    ``sid`` is a session id (supports, zero violations → rule),
+    ``v`` changes content and its variant IS crawled (violations →
+    killed)."""
+    from warcsum_spark.operators.dust import mine_param_rules
+
+    e, u = F.col("event_id"), F.col("user_id")
+    host = F.concat(F.lit("h"), (u % 5).cast("string"), F.lit(".test"))
+    base = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), (e % 5).cast("string")
+    )
+    page = F.concat(F.lit("page="), (e % 3).cast("string"))
+    sid = F.concat(F.lit("sid="), (e % 7).cast("string"))
+    vv = F.concat(
+        F.lit("v="), F.when(e % 8 == 0, F.lit("1")).otherwise(F.lit("2"))
+    )
+    with_v = F.when(e % 4 == 0, F.concat(F.lit("&"), vv)).otherwise(F.lit(""))
+    with_sid = F.when(e % 2 == 0, F.concat(F.lit("&"), sid)).otherwise(
+        F.lit("")
+    )
+    url = F.concat(base, F.lit("?"), page, with_v, with_sid)
+    digest = F.md5(
+        F.concat(
+            base,
+            F.lit("|"),
+            page,
+            F.when(e % 4 == 0, F.concat(F.lit("|"), vv)).otherwise(F.lit("")),
+        )
+    )
+    src = _t(spark, sf_dir, "events").select(
+        host.alias("host"), url.alias("url"), digest.alias("digest")
+    )
+    return mine_param_rules(src, min_support=5).orderBy("host", "param")
+
+
+ORACLE_DUST_SRC = """src AS (
+  SELECT 'h' || CAST(user_id % 5 AS VARCHAR) || '.test' AS host,
+         'http://h' || CAST(user_id % 5 AS VARCHAR) || '.test/p/'
+           || CAST(event_id % 5 AS VARCHAR)
+           || '?page=' || CAST(event_id % 3 AS VARCHAR)
+           || CASE WHEN event_id % 4 = 0
+                   THEN '&v=' || CASE WHEN event_id % 8 = 0 THEN '1' ELSE '2' END
+                   ELSE '' END
+           || CASE WHEN event_id % 2 = 0
+                   THEN '&sid=' || CAST(event_id % 7 AS VARCHAR)
+                   ELSE '' END AS url,
+         md5('http://h' || CAST(user_id % 5 AS VARCHAR) || '.test/p/'
+           || CAST(event_id % 5 AS VARCHAR)
+           || '|page=' || CAST(event_id % 3 AS VARCHAR)
+           || CASE WHEN event_id % 4 = 0
+                   THEN '|v=' || CASE WHEN event_id % 8 = 0 THEN '1' ELSE '2' END
+                   ELSE '' END) AS digest
+  FROM events
+)"""
+
+
+def _oracle_dust_rules() -> str:
+    from warcsum_spark.operators.dust import dust_oracle_sql
+
+    return dust_oracle_sql(ORACLE_DUST_SRC, min_support=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2953,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "host_url_cardinality": q_host_url_cardinality,
         "registrable_domains": q_registrable_domains,
+        "dust_rules": q_dust_rules,
     }
 
 
@@ -3020,6 +3086,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": ORACLE_HOST_GRAPH,
         "host_url_cardinality": _oracle_host_url_cardinality(),
         "registrable_domains": _oracle_registrable_domains(),
+        "dust_rules": _oracle_dust_rules(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

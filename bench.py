@@ -61,6 +61,7 @@ HEADLINE = [
     "host_graph",
     "host_url_cardinality",
     "registrable_domains",
+    "dust_rules",
 ]
 
 
@@ -186,6 +187,7 @@ QUERY_PRIMARY_TABLE = {
     "host_graph": "events",
     "host_url_cardinality": "events",
     "registrable_domains": "events",
+    "dust_rules": "events",
 }
 
 
