@@ -2948,6 +2948,98 @@ def _oracle_dust_rules() -> str:
     return dust_oracle_sql(ORACLE_DUST_SRC, min_support=5)
 
 
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46 (operators/wat.py): WAT metadata envelopes — title + outlink
+    extraction + digest + the byte-deterministic JSON envelope, all
+    JVM codegen (to_json over a fixed-order struct). Synth corpus
+    exercises titled/untitled (doc_id%5) and linked/linkless (doc_id%7)
+    pages; md5 digest because the oracle engine lacks sha1 (the sink
+    default stays sha1). The oracle rebuilds the envelope with DuckDB's
+    to_json(struct_pack(...)) — both engines emit identical compact
+    JSON for non-null fields, which the hash compare certifies."""
+    from warcsum_spark.operators.wat import wat_metadata
+
+    d = F.col("doc_id")
+    title = F.when(
+        d % 5 != 0,
+        F.concat(F.lit("<title> Doc "), d.cast("string"), F.lit(" </title>")),
+    ).otherwise(F.lit(""))
+    links = F.when(
+        d % 7 != 0,
+        F.concat(
+            F.lit('<a href="http://h'),
+            (d % 20).cast("string"),
+            F.lit(".test/p/"),
+            d.cast("string"),
+            F.lit('">x</a><a href=\'/rel/'),
+            (d % 3).cast("string"),
+            F.lit("'>y</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        title,
+        F.lit("</head><body>"),
+        links,
+        F.lit("</body></html>"),
+    )
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .filter(d < 500)
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                (d % 20).cast("string"),
+                F.lit(".test/p/"),
+                d.cast("string"),
+            ).alias("url"),
+            html.alias("html"),
+        )
+    )
+    return wat_metadata(pages, digest="md5").drop("links")
+
+
+ORACLE_WAT_METADATA = r"""
+WITH h AS (
+  SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head>'
+         || CASE WHEN doc_id % 5 <> 0
+                 THEN '<title> Doc ' || CAST(doc_id AS VARCHAR) || ' </title>'
+                 ELSE '' END
+         || '</head><body>'
+         || CASE WHEN doc_id % 7 <> 0
+                 THEN '<a href="http://h' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.test/p/' || CAST(doc_id AS VARCHAR)
+                      || '">x</a><a href=''/rel/'
+                      || CAST(doc_id % 3 AS VARCHAR) || '''>y</a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM documents WHERE doc_id < 500
+),
+m AS (
+  SELECT url,
+         '2015-01-01T00:00:00Z' AS "date",
+         trim(regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title', 1)) AS title,
+         regexp_extract_all(html,
+           '(?is)<a[^>]*?href[ \t\r\n]*=[ \t\r\n]*["'']([^"''<> \t\r\n]+)["'']',
+           1) AS links,
+         CAST(strlen(html) AS BIGINT) AS content_length,
+         md5(html) AS payload_digest
+  FROM h
+)
+SELECT url, "date", title,
+       CAST(len(links) AS BIGINT) AS n_links,
+       content_length, payload_digest,
+       to_json(struct_pack(
+         url := url, "date" := "date", title := title,
+         n_links := CAST(len(links) AS BIGINT),
+         content_length := content_length,
+         payload_digest := payload_digest, links := links)) AS envelope
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3019,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_cardinality": q_host_url_cardinality,
         "registrable_domains": q_registrable_domains,
         "dust_rules": q_dust_rules,
+        "wat_metadata": q_wat_metadata,
     }
 
 
@@ -3087,6 +3180,7 @@ def oracle_sql() -> dict[str, str]:
         "host_url_cardinality": _oracle_host_url_cardinality(),
         "registrable_domains": _oracle_registrable_domains(),
         "dust_rules": _oracle_dust_rules(),
+        "wat_metadata": ORACLE_WAT_METADATA,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

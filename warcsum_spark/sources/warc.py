@@ -129,11 +129,16 @@ def _scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(rows, columns=_COLS)
 
 
-def scan_warc_members(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """DataFrame of parsed WARC members from .warc.gz file(s)/glob/dir."""
+def scan_warc_members(
+    spark: SparkSession, paths: str | list[str], glob: str = "*.warc.gz"
+) -> DataFrame:
+    """DataFrame of parsed WARC members from .warc.gz file(s)/glob/dir.
+    ``glob`` widens the dir-level filename filter for sidecar formats
+    (``*.warc.wet.gz`` conversion, ``*.warc.wat.gz`` metadata archives —
+    same member framing, scanned by the same parser)."""
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.gz")
+        .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(paths)
         .select("path", "content")

@@ -78,6 +78,23 @@ def _conversion_record(uri: str, date: str, text: bytes) -> bytes:
     return b"\r\n".join(lines) + b"\r\n\r\n" + text + b"\r\n\r\n"
 
 
+def _metadata_record(uri: str, date: str, payload: bytes) -> bytes:
+    """One WAT-style metadata record (WARC-Type: metadata, JSON
+    payload) — the framing operators/wat.py writes; parses like any
+    WARC member, so the engine scanner re-ingests it."""
+    b32 = b32encode(sha1(payload).digest()).decode().rstrip("=")
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: metadata",
+        b"WARC-Target-URI: " + uri.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: application/json",
+        b"WARC-Payload-Digest: sha1:" + b32.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
 def _run_partition_writer(src: DataFrame, out_dir: str, prefix: str, suffix: str, record):
     """mapInPandas runner shared by the WARC and WET sinks: one archive
     per non-empty partition, members in row order, null payloads
