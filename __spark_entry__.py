@@ -2948,6 +2948,38 @@ def _oracle_dust_rules() -> str:
     return dust_oracle_sql(ORACLE_DUST_SRC, min_support=5)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T47 (operators/cms.py): Count-Min sketch + candidate top-k over
+    a deterministically skewed item stream (even event_ids spread over
+    97 keys, odd ones over 7 — so k0..k6 are ~8× hotter). w=64 forces
+    real bucket collisions, so the min-over-d-rows estimate is doing
+    actual work; the oracle recomputes the identical sketch registers
+    and estimates (cms_oracle_sql, generated beside the impl)."""
+    from warcsum_spark.operators.cms import cms_sketch, cms_topk
+
+    e = F.col("event_id")
+    item = F.when(
+        e % 2 == 0, F.concat(F.lit("k"), (e % 97).cast("string"))
+    ).otherwise(F.concat(F.lit("k"), (e % 7).cast("string")))
+    src = _t(spark, sf_dir, "events").select(item.alias("item"))
+    sk = cms_sketch(src, [], "item", d=3, w=64)
+    return cms_topk(sk, src.distinct(), "item", k=15, d=3, w=64)
+
+
+ORACLE_CMS_SRC = """src AS (
+  SELECT CASE WHEN event_id % 2 = 0
+              THEN 'k' || CAST(event_id % 97 AS VARCHAR)
+              ELSE 'k' || CAST(event_id % 7 AS VARCHAR) END AS item
+  FROM events
+)"""
+
+
+def _oracle_cms_heavy_hitters() -> str:
+    from warcsum_spark.operators.cms import cms_oracle_sql
+
+    return cms_oracle_sql(ORACLE_CMS_SRC, "item", k=15, d=3, w=64)
+
+
 def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T46 (operators/wat.py): WAT metadata envelopes — title + outlink
     extraction + digest + the byte-deterministic JSON envelope, all
@@ -3112,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "dust_rules": q_dust_rules,
         "wat_metadata": q_wat_metadata,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -3181,6 +3214,7 @@ def oracle_sql() -> dict[str, str]:
         "registrable_domains": _oracle_registrable_domains(),
         "dust_rules": _oracle_dust_rules(),
         "wat_metadata": ORACLE_WAT_METADATA,
+        "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
