@@ -2948,6 +2948,43 @@ def _oracle_dust_rules() -> str:
     return dust_oracle_sql(ORACLE_DUST_SRC, min_support=5)
 
 
+def q_cc_star_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T48 (operators/clusters.py::star_components): alternating star
+    contraction on a LONG-CHAIN graph — 97 disjoint chains of ~40 hops
+    (edges event_id → event_id−97), exactly the diameter regime where
+    min-label propagation needs O(diameter) rounds and star contraction
+    O(log). The oracle recomputes min-reachable-id per node with a
+    recursive CTE, blind to both algorithms."""
+    from warcsum_spark.operators.clusters import star_components
+
+    ids = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("id"))
+        .filter(F.col("id") < 4000)
+    )
+    pairs = ids.filter(F.col("id") >= 97).select(
+        F.col("id").alias("doc_a"), (F.col("id") - 97).alias("doc_b")
+    )
+    return star_components(pairs)
+
+
+ORACLE_CC_STAR_CHAINS = """
+WITH RECURSIVE pairs AS (
+  SELECT event_id AS doc_a, event_id - 97 AS doc_b
+  FROM events WHERE event_id < 4000 AND event_id >= 97
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T47 (operators/cms.py): Count-Min sketch + candidate top-k over
     a deterministically skewed item stream (even event_ids spread over
@@ -3145,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "wat_metadata": q_wat_metadata,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cc_star_chains": q_cc_star_chains,
     }
 
 
@@ -3215,6 +3253,7 @@ def oracle_sql() -> dict[str, str]:
         "dust_rules": _oracle_dust_rules(),
         "wat_metadata": ORACLE_WAT_METADATA,
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
+        "cc_star_chains": ORACLE_CC_STAR_CHAINS,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
