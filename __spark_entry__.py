@@ -1191,6 +1191,74 @@ LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
 
 
+_SPAN_BOILER = (
+    "please subscribe to our weekly newsletter for the latest updates and offers"
+)
+
+
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated token-span removal (operators/span_dedup.py, the
+    ExactSubstr pass of Lee et al. 2022): every token covered by a
+    duplicated 8-gram is removed from the rebuilt document. A 12-token
+    boilerplate sentence is appended to every document (the shape this
+    pass exists for), so its interior 8-grams duplicate corpus-wide and
+    vanish from all 500 docs, while the junction grams straddling each
+    doc's own tail stay unique and survive. Runs the scale-default
+    8-byte hash keys; the DuckDB oracle keys on the gram STRINGS, so the
+    gate doubles as a hash-collision check (pytest separately pins
+    key='hash' == key='text' on the same corpus)."""
+    from warcsum_spark.operators.span_dedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat("text", F.lit(" " + _SPAN_BOILER)).alias("text")
+    )
+    out = dedup_spans(docs, k=8)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+def _oracle_span_dedup(k: int = 8) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text || ' ' || '{_SPAN_BOILER}' AS text FROM documents
+), tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs
+), g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+  FROM tok, unnest(range(1, len(toks) - {k} + 2)) AS t(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM hits, unnest(range(0, {k})) AS u(j)
+), t2 AS (
+  SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+  FROM tok, unnest(range(1, len(toks) + 1)) AS v(i)
+), kept AS (
+  SELECT t2.doc_id, t2.idx, t2.tok
+  FROM t2 LEFT JOIN cov ON t2.doc_id = cov.doc_id AND t2.idx = cov.idx
+  WHERE cov.idx IS NULL
+), reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+       CAST(len(tok.toks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM docs d
+JOIN tok ON tok.doc_id = d.doc_id
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): docs sharing
     ≥1 distinct 3-gram shingle with the benchmark slice (doc_id < 10),
@@ -3183,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata": q_wat_metadata,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cc_star_chains": q_cc_star_chains,
+        "span_dedup_docs": q_span_dedup_docs,
     }
 
 
@@ -3254,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_metadata": ORACLE_WAT_METADATA,
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
         "cc_star_chains": ORACLE_CC_STAR_CHAINS,
+        "span_dedup_docs": _oracle_span_dedup(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -62,6 +62,7 @@ HEADLINE = [
     "host_url_cardinality",
     "registrable_domains",
     "dust_rules",
+    "span_dedup_docs",
 ]
 
 
