@@ -329,6 +329,17 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+def q_simjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (operators/setjoin.py,
+    VernicaJoin/PPJoin): same corpus, k, and threshold as ngram_jaccard
+    — and the SAME brute-force DuckDB oracle, which is blind to the
+    prefix-filter algorithm. Gate green certifies the sub-quadratic
+    plan produces the identical exact pair set."""
+    from warcsum_spark.operators.setjoin import similarity_join
+
+    return similarity_join(_docs_with_neardups(spark, sf_dir), threshold=0.5, k=3)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION stage: near-dup pairs (n-gram Jaccard ≥ 0.5 over
     the injected-near-dup corpus) → connected components (iterative
@@ -3252,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cc_star_chains": q_cc_star_chains,
         "span_dedup_docs": q_span_dedup_docs,
+        "simjoin_docs": q_simjoin_docs,
     }
 
 
@@ -3324,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(),
         "cc_star_chains": ORACLE_CC_STAR_CHAINS,
         "span_dedup_docs": _oracle_span_dedup(),
+        "simjoin_docs": ORACLE_NGRAM_JACCARD,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

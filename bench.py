@@ -63,6 +63,7 @@ HEADLINE = [
     "registrable_domains",
     "dust_rules",
     "span_dedup_docs",
+    "simjoin_docs",
 ]
 
 
