@@ -329,6 +329,30 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.py, Sennrich et
+    al. 2016 semantics with deterministic tie-break): 25 merges over
+    the documents table. Iterative argmax is not SQL-expressible, so
+    the oracle is the independent dict-based Python learner in
+    oracle_refs.py materialized to parquet (minhash/simhash
+    precedent) — kernel disagreement at ANY round cascades into every
+    later rank, so the gate certifies the whole trajectory."""
+    from warcsum_spark.operators.bpe import learn_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return learn_bpe(docs, n_merges=25)
+
+
+def _oracle_bpe(sf_dir: str = "/root/testdata/sf0.01", n_merges: int = 25) -> str:
+    from warcsum_spark.oracle_refs import materialize_bpe_oracle
+
+    path = materialize_bpe_oracle(sf_dir, n_merges=n_merges)
+    return (
+        'SELECT CAST(rank AS INTEGER) AS rank, "left", "right", '
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM read_parquet('{path}')"
+    )
+
+
 def q_simjoin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact set-similarity join (operators/setjoin.py,
     VernicaJoin/PPJoin): same corpus, k, and threshold as ngram_jaccard
@@ -3264,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_chains": q_cc_star_chains,
         "span_dedup_docs": q_span_dedup_docs,
         "simjoin_docs": q_simjoin_docs,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -3337,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_star_chains": ORACLE_CC_STAR_CHAINS,
         "span_dedup_docs": _oracle_span_dedup(),
         "simjoin_docs": ORACLE_NGRAM_JACCARD,
+        "bpe_merges": _oracle_bpe(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
@@ -3359,4 +3385,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         out.pop("ann_ivf", None)
     out["minhash_lsh_docs"] = _oracle_minhash_lsh(sf_dir)
     out["simhash_docs"] = _oracle_simhash(sf_dir)
+    out["bpe_merges"] = _oracle_bpe(sf_dir)
     return out

@@ -266,3 +266,76 @@ def materialize_simhash_oracle(sf_dir: str) -> str:
     pq.write_table(tbl, path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-learning reference (plain dicts, one word at a time)
+# ---------------------------------------------------------------------------
+
+
+def ref_bpe_merges(
+    texts: list[str | None], n_merges: int, min_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Dict-based BPE learner (Sennrich et al. 2016 semantics: '</w>'
+    glued to the final character, overlapping adjacent pairs all
+    counted, greedy left-to-right merge application, stop below
+    min_count). Deterministic tie-break: highest count, then
+    lexicographically smallest (left, right). Deliberately NOT the
+    engine path — no Spark, no folds, no type table reuse."""
+    from collections import Counter
+
+    wc: Counter[str] = Counter()
+    for t in texts:
+        if t:
+            wc.update(w for w in t.lower().strip().split() if w)
+    vocab = {tuple([*w[:-1], w[-1] + "</w>"]): c for w, c in wc.items()}
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        stats: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, left, right, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def materialize_bpe_oracle(sf_dir: str, n_merges: int = 25) -> str:
+    """Run ref_bpe_merges over the documents table of ``sf_dir``; write
+    (rank, left, right, pair_count) parquet and return the path."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, _cache_key(sf_dir, f"bpe_{n_merges}") + ".parquet")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    merges = ref_bpe_merges(tbl.column("text").to_pylist(), n_merges)
+    out = pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int32()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )
+    pq.write_table(out, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
