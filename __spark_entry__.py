@@ -329,6 +329,70 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+_REDIR_URL = "http://r.example/u"
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py, pointer
+    doubling): deterministic 3xx chains derived from doc_id — within
+    each decade, d<9 redirects to d+1 (chains of 1..9 hops ending at
+    the x9 URL), the 490s decade is a 10-cycle. max_hops=6 splits the
+    chains: sources at decade offset <=2 need >=7 hops → unresolved,
+    offset >=3 resolve, the cycle never resolves. The DuckDB oracle is
+    a bounded RECURSIVE CTE — a step walker, structurally blind to the
+    log-round doubling."""
+    from warcsum_spark.operators.redirects import resolve_redirects
+
+    doc_id = F.col("doc_id")
+    d = doc_id % 10
+    dst_id = (
+        F.when(doc_id.between(490, 499), 490 + (d + 1) % 10)
+        .when(d < 9, doc_id + 1)
+    )
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit(_REDIR_URL), doc_id.cast("string")).alias("src"),
+            F.concat(F.lit(_REDIR_URL), dst_id.cast("string")).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return resolve_redirects(edges, max_hops=6)
+
+
+ORACLE_REDIRECTS = f"""
+WITH RECURSIVE edges AS (
+  SELECT '{_REDIR_URL}' || CAST(doc_id AS VARCHAR) AS src,
+         '{_REDIR_URL}' || CAST(CASE
+             WHEN doc_id BETWEEN 490 AND 499
+               THEN 490 + ((doc_id % 10) + 1) % 10
+             WHEN doc_id % 10 < 9 THEN doc_id + 1
+           END AS VARCHAR) AS dst
+  FROM documents
+  WHERE (doc_id BETWEEN 490 AND 499) OR (doc_id % 10 < 9)
+), walk(src, ptr, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.ptr
+  WHERE w.hops < 6
+), last AS (
+  SELECT src, ptr, hops,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk
+), fin AS (
+  SELECT l.src, l.ptr, l.hops,
+         (NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = l.ptr)) AS term
+  FROM last l WHERE rn = 1
+)
+SELECT src,
+       CASE WHEN term THEN ptr END AS final_url,
+       CAST(CASE WHEN term THEN hops END AS INTEGER) AS hops,
+       term AS resolved
+FROM fin
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators/bpe.py, Sennrich et
     al. 2016 semantics with deterministic tie-break): 25 merges over
@@ -3289,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": q_span_dedup_docs,
         "simjoin_docs": q_simjoin_docs,
         "bpe_merges": q_bpe_merges,
+        "redirect_resolution": q_redirect_resolution,
     }
 
 
@@ -3363,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": _oracle_span_dedup(),
         "simjoin_docs": ORACLE_NGRAM_JACCARD,
         "bpe_merges": _oracle_bpe(),
+        "redirect_resolution": ORACLE_REDIRECTS,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
