@@ -329,6 +329,57 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment join (operators/setjoin.py,
+    probe-side-only prefix filter): documents ∪ 20-word excerpts of
+    doc_id<15 (each excerpt's shingles sit fully inside its parent —
+    containment 1.0 by construction; Jaccard would score ~0.35 and
+    miss them). Brute-force directed-containment DuckDB oracle over
+    literal shingle strings, blind to the prefix filter."""
+    from warcsum_spark.operators.setjoin import containment_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 20), " "
+        ).alias("text"),
+    )
+    return containment_join(docs.unionByName(excerpts), threshold=0.9, k=3)
+
+
+ORACLE_CONTAINMENT = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 20), ' '
+         ) AS text
+  FROM documents WHERE doc_id < 15
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM base
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common / CAST(sa.n_sh AS DOUBLE) >= 0.9
+"""
+
+
 _REDIR_URL = "http://r.example/u"
 
 
@@ -3354,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simjoin_docs": q_simjoin_docs,
         "bpe_merges": q_bpe_merges,
         "redirect_resolution": q_redirect_resolution,
+        "containment_docs": q_containment_docs,
     }
 
 
@@ -3429,6 +3481,7 @@ def oracle_sql() -> dict[str, str]:
         "simjoin_docs": ORACLE_NGRAM_JACCARD,
         "bpe_merges": _oracle_bpe(),
         "redirect_resolution": ORACLE_REDIRECTS,
+        "containment_docs": ORACLE_CONTAINMENT,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -64,6 +64,8 @@ HEADLINE = [
     "dust_rules",
     "span_dedup_docs",
     "simjoin_docs",
+    "containment_docs",
+    "redirect_resolution",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.

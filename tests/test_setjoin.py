@@ -124,3 +124,69 @@ def test_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T53 containment_join
+# ---------------------------------------------------------------------------
+
+from warcsum_spark.operators.setjoin import containment_join  # noqa: E402
+
+
+def _brute_containment(rows, t, k=3):
+    import itertools
+
+    def sh(text):
+        w = text.lower().strip().split()
+        return set(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+
+    s = {d: sh(x) for d, x in rows if sh(x)}
+    return set(
+        (a, b, round(len(s[a] & s[b]) / len(s[a]), 6))
+        for a, b in itertools.permutations(s, 2)
+        if len(s[a] & s[b]) / len(s[a]) >= t
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_containment_equals_bruteforce(spark, threshold):
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(50)
+    ]
+    rows += [
+        (100 + i, rows[i][1] + " " + rows[i + 1][1] + " extra tail words here")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = set(map(tuple, containment_join(df, threshold=threshold, k=3).collect()))
+    assert got == _brute_containment(rows, threshold)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A 6-word quote inside a 60-word page: containment 1.0, Jaccard
+    far below any useful threshold — the directed join must find it,
+    the symmetric one must not."""
+    quote = "the quick brown fox jumps high"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(54))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id int, text string"
+    )
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_join(df, threshold=0.9, k=3).collect()}
+    assert cont == {(1, 2): 1.0}
+    assert similarity_join(df, threshold=0.5, k=3).count() == 0
+
+
+def test_containment_validation_and_plan(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        containment_join(df, threshold=0.0)
+    plan = (
+        containment_join(df, threshold=0.8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

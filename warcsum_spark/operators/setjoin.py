@@ -138,3 +138,69 @@ def similarity_join(
         .filter(jacc >= threshold)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed near-containment pairs: (doc_a, doc_b, containment)
+    with containment = |A∩B| / |A| >= threshold and doc_a != doc_b —
+    "A is (mostly) quoted inside B". The asymmetric twin of
+    `similarity_join`: quote inclusion, boilerplate-inside-page, and
+    subset duplication that Jaccard misses when |B| >> |A| (a tweet
+    fully contained in a news page has Jaccard ~0 but containment 1).
+
+    Prefix filtering applies on the PROBE side only: C(A,B) >= t needs
+    |A∩B| >= ceil(t*|A|), so A's rarity-ordered prefix of length
+    |A| - ceil(t*|A|) + 1 must hit the intersection — but B gets no
+    size-relative bound (any huge B can contain a small A), so the
+    index side carries ALL its shingles. That is an inverted index:
+    linear in the corpus, never all-pairs; candidate fan-out per probe
+    shingle is that shingle's document frequency, and probe prefixes
+    are rarest-first, so stopword-grade shingles never probe. Exact
+    array_intersect verification removes false candidates, as in
+    similarity_join. No size-ratio prune exists for containment — by
+    design it crosses size classes.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_sort(
+                F.array_distinct(_shingle_hash_array(text_col, k))
+            ).alias("sh_set"),
+        )
+        .withColumn("n_sh", F.size("sh_set"))
+        .filter(F.col("n_sh") > 0)
+    )
+    base = base.cache()
+
+    probe = _prefix_shingles(base, threshold).select(
+        F.col("doc_id").alias("doc_a"), "sh"
+    )
+    index = base.select(
+        F.col("doc_id").alias("doc_b"), F.explode("sh_set").alias("sh")
+    )
+    cand = (
+        probe.join(index, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    va = base.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("na"))
+    vb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    cont = F.size(F.array_intersect("set_a", "set_b")) / F.col("na")
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
