@@ -1773,6 +1773,105 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.95, dim=dim)
 
 
+def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T54 (operators/semdedup.py): SemDedup — k-means cluster the
+    embedding corpus (quantizer shared with IVF-ANN, trained on the base
+    table), then prune within-cluster cosine near-dups keeping the
+    least-prototypical copy. Same deterministic near-dup injection as
+    embedding_near_dup; the DuckDB oracle re-trains identical centroids
+    from the parquet and replays assignment + rank-inequality pruning,
+    blind to the blocked kernel."""
+    from warcsum_spark.operators.semdedup import semdedup
+    from warcsum_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    perturbed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).unionByName(perturbed)
+    C = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    return semdedup(corpus, C, threshold=0.95)
+
+
+def _oracle_semdedup(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+) -> str | None:
+    """DuckDB replica of q_semdedup_docs: identical centroids regenerated
+    via the shared pure-numpy trainer (the full base table is the
+    training sample), assignment as an argmax window with the kernel's
+    lowest-id tiebreak, pruning as a rank-inequality join — structurally
+    blind to the blocked prefix-matmul kernel."""
+    import duckdb
+    import numpy as np
+
+    from warcsum_spark.operators.similarity import _kmeans_spherical
+
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(pq):
+        return None
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{pq}') ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    C = _kmeans_spherical(X, n_centroids)
+    cent_rows = ",\n  ".join(f"({i}, {_sql_list(C[i])})" for i in range(len(C)))
+    return f"""
+WITH cent(centroid_id, c) AS (VALUES
+  {cent_rows}
+),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+corpus AS (
+  SELECT vec_id, e FROM base
+  UNION ALL SELECT vec_id + 1000000, e FROM base WHERE vec_id < 20
+  UNION ALL SELECT vec_id + 2000000, list_concat([e[1] + 0.2], e[2:]) FROM base WHERE vec_id < 20
+),
+norm AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS v
+  FROM corpus
+),
+assign AS (
+  SELECT vec_id, centroid_id, csim FROM (
+    SELECT n.vec_id, cent.centroid_id,
+           list_dot_product(n.v, cent.c) AS csim,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.c) DESC, cent.centroid_id ASC
+           ) AS r
+    FROM norm n CROSS JOIN cent
+  ) WHERE r = 1
+),
+ranked AS (
+  SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
+         round(csim, 6) AS centroid_sim,
+         row_number() OVER (
+           PARTITION BY centroid_id ORDER BY round(csim, 6) ASC, vec_id ASC
+         ) AS rk
+  FROM assign
+),
+dup AS (
+  SELECT a.vec_id,
+         bool_or(round(list_dot_product(na.v, nb.v), 6) >= {threshold}) AS is_dup
+  FROM ranked a
+  JOIN ranked b ON a.centroid_id = b.centroid_id AND b.rk < a.rk
+  JOIN norm na ON na.vec_id = a.vec_id
+  JOIN norm nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id
+)
+SELECT r.vec_id, r.centroid_id, r.centroid_sim,
+       coalesce(d.is_dup, false) AS is_dup
+FROM ranked r LEFT JOIN dup d USING (vec_id)
+"""
+
+
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5: per-host politeness top-k on a synthetic URL table."""
     from warcsum_spark.frontier.politeness import schedule_per_host
@@ -3406,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "redirect_resolution": q_redirect_resolution,
         "containment_docs": q_containment_docs,
+        "semdedup_docs": q_semdedup_docs,
     }
 
 
@@ -3486,6 +3586,9 @@ def oracle_sql() -> dict[str, str]:
     ivf = _oracle_ann_ivf()
     if ivf is not None:
         out["ann_ivf"] = ivf
+    sem = _oracle_semdedup()
+    if sem is not None:
+        out["semdedup_docs"] = sem
     return out
 
 
@@ -3502,6 +3605,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         out["ann_ivf"] = ivf
     else:
         out.pop("ann_ivf", None)
+    sem = _oracle_semdedup(sf_dir)
+    if sem is not None:
+        out["semdedup_docs"] = sem
+    else:
+        out.pop("semdedup_docs", None)
     out["minhash_lsh_docs"] = _oracle_minhash_lsh(sf_dir)
     out["simhash_docs"] = _oracle_simhash(sf_dir)
     out["bpe_merges"] = _oracle_bpe(sf_dir)
