@@ -2562,6 +2562,33 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T55 (operators/hits.py): HITS hubs/authorities on the same
+    deterministic event-derived link graph as pagerank_links — nodes
+    40–49 have no outlinks (pure authorities, hub 0) and the src range
+    is denser, so both zero branches are exercised."""
+    from warcsum_spark.operators.hits import hits
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    out = hits(edges, iters=4)
+    return out.select(
+        "node", F.round("hub", 8).alias("hub"), F.round("authority", 8).alias("authority")
+    )
+
+
+def _oracle_hits() -> str:
+    from warcsum_spark.operators.hits import hits_oracle_sql
+
+    return hits_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        iters=4,
+    )
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33 (operators/anchors.py): anchor-text aggregation. Docs get
     synthetic pages with two links each — a per-doc target (7×13 id
@@ -3486,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "stratified_sample_docs": q_stratified_sample_docs,
         "pagerank_links": q_pagerank_links,
+        "hits_links": q_hits_links,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3563,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": ORACLE_INVERTED_INDEX,
         "stratified_sample_docs": _oracle_stratified(),
         "pagerank_links": _oracle_pagerank(),
+        "hits_links": _oracle_hits(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
