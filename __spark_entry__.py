@@ -2562,6 +2562,53 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T56 (operators/snapshot.py): two deterministic crawl snapshots
+    derived from documents — prev drops doc_id%10==0, cur drops
+    doc_id%7==0 and rewrites every doc_id%5==0 payload — so all four
+    statuses (added/removed/changed/unchanged) are populated."""
+    from warcsum_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".test/")
+    ).alias("url")
+    prev = docs.filter(F.col("doc_id") % 10 != 0).select(
+        url, F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    cur = docs.filter(F.col("doc_id") % 7 != 0).select(
+        url,
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("v2")).cast("binary")),
+        )
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("digest"),
+    )
+    return snapshot_diff(prev, cur)
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH prev AS (
+  SELECT 'http://doc' || CAST(doc_id AS VARCHAR) || '.test/' AS url,
+         md5(text) AS digest
+  FROM documents WHERE doc_id % 10 <> 0
+),
+cur AS (
+  SELECT 'http://doc' || CAST(doc_id AS VARCHAR) || '.test/' AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(p.url, c.url) AS url,
+       CASE WHEN p.digest IS NULL THEN 'added'
+            WHEN c.digest IS NULL THEN 'removed'
+            WHEN p.digest = c.digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       p.digest AS prev_digest, c.digest AS cur_digest
+FROM prev p FULL OUTER JOIN cur c ON p.url = c.url
+"""
+
+
 def q_hits_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T55 (operators/hits.py): HITS hubs/authorities on the same
     deterministic event-derived link graph as pagerank_links — nodes
@@ -3514,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3592,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _oracle_stratified(),
         "pagerank_links": _oracle_pagerank(),
         "hits_links": _oracle_hits(),
+        "snapshot_diff_docs": ORACLE_SNAPSHOT_DIFF,
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
