@@ -66,6 +66,9 @@ HEADLINE = [
     "simjoin_docs",
     "containment_docs",
     "redirect_resolution",
+    "semdedup_docs",
+    "hits_links",
+    "snapshot_diff_docs",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
