@@ -2562,6 +2562,30 @@ def _oracle_pagerank() -> str:
     )
 
 
+_TAGGING_TAXONOMY = {
+    "storage": ["table", "row", "column", "fast table"],
+    "execution": ["scan", "join", "agg", "sort", "hash"],
+    "streaming": ["stream", "batch", "window"],
+}
+
+
+def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T58 (operators/tagging.py): taxonomy keyword tagging over the
+    documents table — token and phrase keywords compiled into one
+    map-only replace-arithmetic projection; the oracle is the same
+    expressions generated for DuckDB from the same dictionary."""
+    from warcsum_spark.operators.tagging import tag_topics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tag_topics(docs, _TAGGING_TAXONOMY, min_hits=2)
+
+
+def _oracle_tagging() -> str:
+    from warcsum_spark.operators.tagging import tagging_oracle_sql
+
+    return tagging_oracle_sql(_TAGGING_TAXONOMY, min_hits=2)
+
+
 def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T56 (operators/snapshot.py): two deterministic crawl snapshots
     derived from documents — prev drops doc_id%10==0, cur drops
@@ -3562,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "snapshot_diff_docs": q_snapshot_diff_docs,
+        "tag_topics_docs": q_tag_topics_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3641,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_links": _oracle_pagerank(),
         "hits_links": _oracle_hits(),
         "snapshot_diff_docs": ORACLE_SNAPSHOT_DIFF,
+        "tag_topics_docs": _oracle_tagging(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
