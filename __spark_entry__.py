@@ -2562,6 +2562,38 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T59 (functions/normalize.py): Unicode canonicalization with
+    accent folding over documents text that is deterministically
+    dirtied first (accents injected, zero-width + space runs added) —
+    the base corpus is ASCII, so the injection is what makes the
+    normalization observable. Oracle = the same dirtying + the
+    generated nfc_normalize/strip_accents twin expression."""
+    from warcsum_spark.functions.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = F.concat(
+        F.lit("​ "),
+        F.replace(F.col("text"), F.lit("a"), F.lit("á")),
+        F.lit("  tail"),
+    )
+    norm = normalize_text(dirty, accent_fold=True)
+    return docs.select(
+        "doc_id", norm.alias("norm"), F.length(norm).alias("n_chars")
+    )
+
+
+def _oracle_normalize() -> str:
+    from warcsum_spark.functions.normalize import normalize_sql_expr
+
+    dirty = "chr(8203) || ' ' || replace(text, 'a', 'á') || '  tail'"
+    expr = normalize_sql_expr(dirty, accent_fold=True)
+    return (
+        f"SELECT doc_id, {expr} AS norm, length({expr}) AS n_chars "
+        f"FROM documents"
+    )
+
+
 _TAGGING_TAXONOMY = {
     "storage": ["table", "row", "column", "fast table"],
     "execution": ["scan", "join", "agg", "sort", "hash"],
@@ -3587,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_links": q_hits_links,
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "tag_topics_docs": q_tag_topics_docs,
+        "normalize_docs": q_normalize_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3667,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_links": _oracle_hits(),
         "snapshot_diff_docs": ORACLE_SNAPSHOT_DIFF,
         "tag_topics_docs": _oracle_tagging(),
+        "normalize_docs": _oracle_normalize(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
