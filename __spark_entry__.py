@@ -2562,6 +2562,22 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_permute_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T60 (operators/shuffle.py): seeded corpus permutation — shard by
+    md5 bucket, row_number within shard, dimension-sized offset table
+    for the global position; no global sort anywhere."""
+    from warcsum_spark.operators.shuffle import permute_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return permute_corpus(docs, n_shards=8, seed=42)
+
+
+def _oracle_permute() -> str:
+    from warcsum_spark.operators.shuffle import permute_oracle_sql
+
+    return permute_oracle_sql("documents", n_shards=8, seed=42)
+
+
 def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T59 (functions/normalize.py): Unicode canonicalization with
     accent folding over documents text that is deterministically
@@ -3620,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_docs": q_snapshot_diff_docs,
         "tag_topics_docs": q_tag_topics_docs,
         "normalize_docs": q_normalize_docs,
+        "permute_docs": q_permute_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3701,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_docs": ORACLE_SNAPSHOT_DIFF,
         "tag_topics_docs": _oracle_tagging(),
         "normalize_docs": _oracle_normalize(),
+        "permute_docs": _oracle_permute(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
