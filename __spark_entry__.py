@@ -2562,6 +2562,39 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T61 (operators/lpa.py): synchronous label-propagation communities
+    on a deterministic clustered graph — 8 dense 10-node groups (edges
+    stay within the user's mod-8 group) plus sparse mod-97 bridges, so
+    LPA has real structure to find rather than one giant blob."""
+    from warcsum_spark.operators.lpa import label_propagation
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 8
+    intra = ev.select(
+        (g * 10 + F.col("event_id") % 10).alias("src"),
+        (g * 10 + (F.col("event_id") / 10).cast("long") % 10).alias("dst"),
+    )
+    bridges = ev.filter(F.col("event_id") % 97 == 0).select(
+        (g * 10).alias("src"),
+        (((g + 1) % 8) * 10).alias("dst"),
+    )
+    return label_propagation(intra.unionByName(bridges), iters=5)
+
+
+def _oracle_lpa() -> str:
+    from warcsum_spark.operators.lpa import lpa_oracle_sql
+
+    return lpa_oracle_sql(
+        "SELECT (user_id % 8) * 10 + event_id % 10 AS src, "
+        "(user_id % 8) * 10 + CAST(floor(event_id / 10) AS BIGINT) % 10 AS dst "
+        "FROM events "
+        "UNION ALL SELECT (user_id % 8) * 10, (((user_id % 8) + 1) % 8) * 10 "
+        "FROM events WHERE event_id % 97 = 0",
+        iters=5,
+    )
+
+
 def q_permute_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T60 (operators/shuffle.py): seeded corpus permutation — shard by
     md5 bucket, row_number within shard, dimension-sized offset table
@@ -3637,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_topics_docs": q_tag_topics_docs,
         "normalize_docs": q_normalize_docs,
         "permute_docs": q_permute_docs,
+        "lpa_communities": q_lpa_communities,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3719,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
         "tag_topics_docs": _oracle_tagging(),
         "normalize_docs": _oracle_normalize(),
         "permute_docs": _oracle_permute(),
+        "lpa_communities": _oracle_lpa(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
