@@ -647,6 +647,60 @@ HAVING round(sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
 """
 
 
+def q_cross_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T62 (operators/incremental.py): a new crawl batch (docs 0–29
+    re-ingested under shifted ids, text identical) deduped against the
+    persisted signature index of the full corpus. The oracle derives
+    the batch's reference signatures from the SAME independent per-row
+    parquet by id mapping — identical text ⇒ identical signature — so
+    the engine's kernel recomputation, the batch-vs-index band join,
+    and the estimates are all checked."""
+    from warcsum_spark.operators.dedup import minhash_signatures
+    from warcsum_spark.operators.incremental import cross_batch_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = minhash_signatures(docs, with_bands=True)
+    batch = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    dups, _ = cross_batch_duplicates(batch, index, threshold=0.5)
+    return dups
+
+
+def _oracle_cross_batch(
+    sf_dir: str = "/root/testdata/sf0.01",
+    num_hashes: int = 64,
+    threshold: float = 0.5,
+) -> str:
+    from warcsum_spark.oracle_refs import materialize_minhash_oracle
+
+    sig_path, band_path = materialize_minhash_oracle(sf_dir)
+    return f"""
+WITH nb AS (
+  SELECT doc_id + 5000000 AS new_id, band_id, band_hash
+  FROM read_parquet('{band_path}') WHERE doc_id < 30
+),
+cand AS (
+  SELECT nb.new_id, b.doc_id AS index_id, count(*) AS n_bands
+  FROM read_parquet('{band_path}') b
+  JOIN nb ON b.band_id = nb.band_id AND b.band_hash = nb.band_hash
+  WHERE b.doc_id < 1000000  -- the reference parquet also carries the
+                            -- minhash query's injected ids; the index
+                            -- here is the BASE corpus only
+  GROUP BY 1, 2
+)
+SELECT cand.new_id, cand.index_id, cand.n_bands,
+       round(sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
+             / CAST({num_hashes} AS DOUBLE), 6) AS est_jaccard
+FROM cand
+JOIN read_parquet('{sig_path}') sa ON sa.doc_id = cand.new_id - 5000000
+JOIN read_parquet('{sig_path}') sb ON sb.doc_id = cand.index_id AND sb.pos = sa.pos
+GROUP BY cand.new_id, cand.index_id, cand.n_bands
+HAVING round(sum(CASE WHEN sa.sig_val = sb.sig_val THEN 1 ELSE 0 END)
+             / CAST({num_hashes} AS DOUBLE), 6) >= {threshold}
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (pigeonhole candidate join). The DuckDB
     oracle reads per-document simhashes from the independent pure-Python
@@ -3671,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_docs": q_normalize_docs,
         "permute_docs": q_permute_docs,
         "lpa_communities": q_lpa_communities,
+        "cross_batch_dedup": q_cross_batch_dedup,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3739,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         # form, so the independent per-row Python references are
         # materialized to parquet and only the pair logic runs in SQL.
         "minhash_lsh_docs": _oracle_minhash_lsh(),
+        "cross_batch_dedup": _oracle_cross_batch(),
         "simhash_docs": _oracle_simhash(),
         "quality_filter_docs": _oracle_quality_filter(),
         "repetition_signals": _oracle_repetition(),
@@ -3802,6 +3858,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     else:
         out.pop("semdedup_docs", None)
     out["minhash_lsh_docs"] = _oracle_minhash_lsh(sf_dir)
+    out["cross_batch_dedup"] = _oracle_cross_batch(sf_dir)
     out["simhash_docs"] = _oracle_simhash(sf_dir)
     out["bpe_merges"] = _oracle_bpe(sf_dir)
     return out
