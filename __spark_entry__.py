@@ -2704,6 +2704,55 @@ _TAGGING_TAXONOMY = {
 }
 
 
+def q_charset_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T63 (functions/charset.py): charset sniffing over deterministic
+    HTML byte payloads built from documents — doc_id%3 rotates through
+    a quoted utf-8 meta, a latin-1 alias meta, and a BOM with no meta,
+    so all sniff branches the DuckDB twin can replicate are hit (the
+    validity fallback is pytest-pinned; every gate row resolves via BOM
+    or meta by construction)."""
+    from warcsum_spark.functions.charset import sniff_charset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    body = (
+        F.when(
+            m == 0,
+            F.encode(
+                F.concat(F.lit('<meta charset="utf-8">'), F.col("text")), "UTF-8"
+            ),
+        )
+        .when(
+            m == 1,
+            F.encode(
+                F.concat(F.lit("<meta charset=latin-1>"), F.col("text")), "UTF-8"
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(bytearray(b"\xef\xbb\xbf")), F.encode(F.col("text"), "UTF-8")
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", sniff_charset(body, default="windows-1252").alias("charset")
+    )
+
+
+def _oracle_charset() -> str:
+    from warcsum_spark.functions.charset import sniff_sql_expr
+
+    body = (
+        "CASE WHEN doc_id % 3 = 0 THEN encode('<meta charset=\"utf-8\">' || text) "
+        "WHEN doc_id % 3 = 1 THEN encode('<meta charset=latin-1>' || text) "
+        "ELSE '\\xEF\\xBB\\xBF'::BLOB || encode(text) END"
+    )
+    return (
+        f"SELECT doc_id, {sniff_sql_expr(body, default='windows-1252')} AS charset "
+        f"FROM documents"
+    )
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3726,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permute_docs": q_permute_docs,
         "lpa_communities": q_lpa_communities,
         "cross_batch_dedup": q_cross_batch_dedup,
+        "charset_sniff_docs": q_charset_sniff_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3810,6 +3860,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_docs": _oracle_normalize(),
         "permute_docs": _oracle_permute(),
         "lpa_communities": _oracle_lpa(),
+        "charset_sniff_docs": _oracle_charset(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
