@@ -69,6 +69,12 @@ HEADLINE = [
     "semdedup_docs",
     "hits_links",
     "snapshot_diff_docs",
+    "tag_topics_docs",
+    "normalize_docs",
+    "permute_docs",
+    "lpa_communities",
+    "cross_batch_dedup",
+    "charset_sniff_docs",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
