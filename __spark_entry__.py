@@ -659,7 +659,10 @@ def q_cross_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.incremental import cross_batch_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index = minhash_signatures(docs, with_bands=True)
+    # The index is PERSISTED in production (read from parquet, ~100 B/doc)
+    # — cache the synthesized stand-in so the corpus-wide minhash kernel
+    # runs once, not once per plan reference (band stream + sig join).
+    index = minhash_signatures(docs, with_bands=True).cache()
     batch = docs.filter(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 5000000).alias("doc_id"), "text"
     )

@@ -37,11 +37,17 @@ def label_propagation(
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """(node, label) after ``iters`` synchronous LPA rounds; labels
     start as node ids, so a label is always the id of some member and
     communities are comparable across engines. Edges are treated as
-    undirected; duplicates and self-loops are dropped."""
+    undirected; duplicates and self-loops are dropped.
+
+    Lineage is cut (eager localCheckpoint) every ``checkpoint_interval``
+    rounds rather than every round: each eager cut is a full job, and a
+    few rounds of join/agg lineage is well within Catalyst's comfort —
+    per-round cuts just multiply fixed job overhead by ``iters``."""
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -61,7 +67,7 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.col("n").desc(), F.col("label").asc()
     )
-    for _ in range(iters):
+    for i in range(iters):
         votes = (
             bidir.join(labels, bidir.b == labels.node)
             .select(F.col("a").alias("node"), "label")
@@ -73,12 +79,14 @@ def label_propagation(
             .filter(F.col("_r") == 1)
             .select("node", F.col("label").alias("_new"))
         )
-        labels = (
-            nodes.join(winner, "node", "left")
-            .join(labels, "node")
-            .select("node", F.coalesce("_new", "label").alias("label"))
-            .localCheckpoint(eager=True)
+        # labels' node set is invariant (every node keeps a row each
+        # round), so one left join against the previous labels suffices
+        # — no separate rejoin through `nodes`.
+        labels = labels.join(winner, "node", "left").select(
+            "node", F.coalesce("_new", "label").alias("label")
         )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iters:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
