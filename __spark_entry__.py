@@ -2756,6 +2756,34 @@ def _oracle_charset() -> str:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T64 (operators/quantiles.py): mergeable HDR-histogram quantile
+    sketch — p50/p90/p99 document length per language from the bounded
+    (lang, e, sub, cnt) bucket table; the oracle runs the identical
+    integer bucketing + nearest-rank cut in DuckDB. The merge law
+    (sketch ⊕ sketch == sketch of union) is pytest-pinned."""
+    from warcsum_spark.operators.quantiles import hdr_quantiles, hdr_sketch
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    sk = hdr_sketch(docs, ["lang"], "n_chars", sub_bits=5)
+    return hdr_quantiles(sk, ["lang"], [0.5, 0.9, 0.99], sub_bits=5)
+
+
+def _oracle_length_quantiles() -> str:
+    from warcsum_spark.operators.quantiles import (
+        hdr_quantiles_sql,
+        hdr_sketch_sql,
+    )
+
+    sk = hdr_sketch_sql(
+        "SELECT lang, n_chars FROM documents", ["lang"], "n_chars", 5
+    )
+    q = hdr_quantiles_sql(sk, ["lang"], [0.5, 0.9, 0.99], 5)
+    return (
+        f"SELECT lang, q, value, CAST(n AS BIGINT) AS n FROM ({q})"
+    )
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3779,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "cross_batch_dedup": q_cross_batch_dedup,
         "charset_sniff_docs": q_charset_sniff_docs,
+        "length_quantiles": q_length_quantiles,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3864,6 +3893,7 @@ def oracle_sql() -> dict[str, str]:
         "permute_docs": _oracle_permute(),
         "lpa_communities": _oracle_lpa(),
         "charset_sniff_docs": _oracle_charset(),
+        "length_quantiles": _oracle_length_quantiles(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
