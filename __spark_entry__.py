@@ -2784,6 +2784,43 @@ def _oracle_length_quantiles() -> str:
     )
 
 
+_TRIANGLE_EDGES_SQL = (
+    "SELECT (user_id % 6) * 10 + event_id % 10 AS src, "
+    "(user_id % 6) * 10 + CAST(floor(event_id / 10) AS BIGINT) % 10 AS dst "
+    "FROM events "
+    "UNION ALL SELECT (user_id % 6) * 10, (((user_id % 6) + 1) % 6) * 10 "
+    "FROM events WHERE event_id % 13 = 0"
+)
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T65 (operators/triangles.py): per-node triangle counts + local
+    clustering coefficient (the link-farm density signal) on a
+    deterministic 6-group graph — dense intra-group edges close many
+    triangles, sparse mod-13 bridges almost none — via the
+    degree-ordered node-iterator; the oracle runs the identical
+    orientation + wedge-close join in DuckDB."""
+    from warcsum_spark.operators.triangles import triangle_counts
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 6
+    intra = ev.select(
+        (g * 10 + F.col("event_id") % 10).alias("src"),
+        (g * 10 + (F.col("event_id") / 10).cast("long") % 10).alias("dst"),
+    )
+    bridges = ev.filter(F.col("event_id") % 13 == 0).select(
+        (g * 10).alias("src"),
+        (((g + 1) % 6) * 10).alias("dst"),
+    )
+    return triangle_counts(intra.unionByName(bridges))
+
+
+def _oracle_triangles() -> str:
+    from warcsum_spark.operators.triangles import triangles_oracle_sql
+
+    return triangles_oracle_sql(_TRIANGLE_EDGES_SQL)
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3808,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_batch_dedup": q_cross_batch_dedup,
         "charset_sniff_docs": q_charset_sniff_docs,
         "length_quantiles": q_length_quantiles,
+        "triangle_counts": q_triangle_counts,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3894,6 +3932,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _oracle_lpa(),
         "charset_sniff_docs": _oracle_charset(),
         "length_quantiles": _oracle_length_quantiles(),
+        "triangle_counts": _oracle_triangles(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
