@@ -2821,6 +2821,25 @@ def _oracle_triangles() -> str:
     return triangles_oracle_sql(_TRIANGLE_EDGES_SQL)
 
 
+def q_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T66 (functions/entropy.py): character-class Shannon entropy +
+    symbol stats over documents — the junk/stuffing kill signal. The
+    entropy sum is a literal fixed-order 37-term expression chain on
+    both engines (no aggregation-order float nondeterminism can
+    exist); the full 256-bin byte tier and the zlib compressibility
+    ratio are the pytest-pinned scale path (DuckDB has neither)."""
+    from warcsum_spark.functions.entropy import with_char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_char_entropy(docs, "text", id_cols=["doc_id"])
+
+
+def _oracle_entropy() -> str:
+    from warcsum_spark.functions.entropy import entropy_oracle_sql
+
+    return entropy_oracle_sql("documents", "doc_id", "text")
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3846,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff_docs": q_charset_sniff_docs,
         "length_quantiles": q_length_quantiles,
         "triangle_counts": q_triangle_counts,
+        "entropy_docs": q_entropy_docs,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3933,6 +3953,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff_docs": _oracle_charset(),
         "length_quantiles": _oracle_length_quantiles(),
         "triangle_counts": _oracle_triangles(),
+        "entropy_docs": _oracle_entropy(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,
