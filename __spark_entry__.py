@@ -2840,6 +2840,64 @@ def _oracle_entropy() -> str:
     return entropy_oracle_sql("documents", "doc_id", "text")
 
 
+_URL_TEMPLATE_SQL = (
+    "SELECT CASE "
+    "WHEN event_id % 3 = 0 THEN 'http://h' || CAST(user_id % 5 AS VARCHAR)"
+    " || '.test/post/' || CAST(event_id AS VARCHAR) || '/view' "
+    "WHEN event_id % 3 = 1 THEN 'http://h' || CAST(user_id % 5 AS VARCHAR)"
+    " || '.test/tag/' || CASE WHEN user_id % 2 = 0 THEN 'news' ELSE 'blog' END "
+    "ELSE 'http://h' || CAST(user_id % 5 AS VARCHAR) || '.test/s/'"
+    " || substring(md5(CAST(event_id AS VARCHAR)), 1, 16) END AS url "
+    "FROM events"
+)
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T67 (operators/urltemplates.py): path-template mining over URLs
+    synthesized from events — numeric post ids collapse to {d}, hex
+    session tokens to {h}, literal tag pages stay literal — so the
+    trap-shaped templates dominate the counts and the literal ones
+    stay small. Oracle = the identical RE2-safe rules in DuckDB."""
+    from warcsum_spark.operators.urltemplates import mine_url_templates
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("http://h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")
+    )
+    m = F.col("event_id") % 3
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                host, F.lit("/post/"), F.col("event_id").cast("string"),
+                F.lit("/view"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                host, F.lit("/tag/"),
+                F.when(F.col("user_id") % 2 == 0, F.lit("news")).otherwise(
+                    F.lit("blog")
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                host, F.lit("/s/"),
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+            )
+        )
+    )
+    return mine_url_templates(ev.select(url.alias("url")), min_urls=2)
+
+
+def _oracle_url_templates() -> str:
+    from warcsum_spark.operators.urltemplates import templates_oracle_sql
+
+    return templates_oracle_sql(_URL_TEMPLATE_SQL, min_urls=2)
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3866,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "triangle_counts": q_triangle_counts,
         "entropy_docs": q_entropy_docs,
+        "url_templates": q_url_templates,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -3954,6 +4013,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _oracle_length_quantiles(),
         "triangle_counts": _oracle_triangles(),
         "entropy_docs": _oracle_entropy(),
+        "url_templates": _oracle_url_templates(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,

@@ -75,6 +75,9 @@ HEADLINE = [
     "lpa_communities",
     "cross_batch_dedup",
     "charset_sniff_docs",
+    "length_quantiles",
+    "triangle_counts",
+    "entropy_docs",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
