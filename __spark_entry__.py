@@ -2898,6 +2898,30 @@ def _oracle_url_templates() -> str:
     return templates_oracle_sql(_URL_TEMPLATE_SQL, min_urls=2)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T68 (operators/drift.py): per-label centroid cosine between two
+    deterministic 'crawl batches' (vec_id parity split) of the
+    embeddings table — the distribution-shift monitor. Oracle = the
+    identical centroids + cosine in DuckDB (positions are
+    engine-internal join keys and never reach the output)."""
+    from warcsum_spark.operators.drift import centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b, ["label"])
+
+
+def _oracle_embedding_drift() -> str:
+    from warcsum_spark.operators.drift import drift_oracle_sql
+
+    return drift_oracle_sql(
+        "SELECT label, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT label, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        ["label"],
+    )
+
+
 def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T58 (operators/tagging.py): taxonomy keyword tagging over the
     documents table — token and phrase keywords compiled into one
@@ -3925,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "entropy_docs": q_entropy_docs,
         "url_templates": q_url_templates,
+        "embedding_drift": q_embedding_drift,
         "anchor_text": q_anchor_text,
         "recrawl_schedule": q_recrawl_schedule,
         "host_budgets": q_host_budgets,
@@ -4014,6 +4039,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _oracle_triangles(),
         "entropy_docs": _oracle_entropy(),
         "url_templates": _oracle_url_templates(),
+        "embedding_drift": _oracle_embedding_drift(),
         "anchor_text": _oracle_anchor_text(),
         "recrawl_schedule": ORACLE_RECRAWL,
         "host_budgets": ORACLE_HOST_BUDGETS,

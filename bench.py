@@ -78,6 +78,8 @@ HEADLINE = [
     "length_quantiles",
     "triangle_counts",
     "entropy_docs",
+    "url_templates",
+    "embedding_drift",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
