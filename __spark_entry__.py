@@ -3877,6 +3877,80 @@ FROM m
 """
 
 
+_BM25_QUERIES = [
+    (1, "spark"), (1, "merge"),
+    (2, "hash"), (2, "join"),
+    (3, "vector"), (3, "stream"), (3, "window"),
+    (4, "the"),  # stopword-grade hot query: exercises the salted top-k
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T69 (operators/bm25.py): BM25 ranked retrieval — top-5 documents
+    per keyword query. Query 4 is a corpus-wide stopword, so its rank
+    window is a hot key and the two-phase salted trim path runs inside
+    the gated query, not just in pytest."""
+    from warcsum_spark.operators.bm25 import bm25_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+    return bm25_search(docs, queries_df, k=5, salt_buckets=8)
+
+
+def _oracle_bm25() -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return rf"""
+WITH q(query_id, term) AS (VALUES {vals}),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS w
+  FROM norm
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS doclen FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doclen) AS avgdl FROM dl
+), stream AS (
+  SELECT doc_id, unnest(w) AS term FROM toks
+), pairs AS (
+  SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+  FROM stream
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY term, doc_id
+), dfs AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM pairs GROUP BY term
+), contrib AS (
+  SELECT q.query_id, p.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * (1.2 + 1.0)
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / s.avgdl)) AS c
+  FROM pairs p
+  JOIN dfs d USING (term)
+  JOIN q ON q.term = p.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+), scores AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         round(sum(c), 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rnk
+  FROM scores
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3970,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": q_redirect_resolution,
         "containment_docs": q_containment_docs,
         "semdedup_docs": q_semdedup_docs,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -4059,6 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _oracle_bpe(),
         "redirect_resolution": ORACLE_REDIRECTS,
         "containment_docs": ORACLE_CONTAINMENT,
+        "bm25_search": _oracle_bm25(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

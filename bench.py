@@ -80,6 +80,7 @@ HEADLINE = [
     "entropy_docs",
     "url_templates",
     "embedding_drift",
+    "bm25_search",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -211,6 +212,25 @@ QUERY_PRIMARY_TABLE = {
     "host_url_cardinality": "events",
     "registrable_domains": "events",
     "dust_rules": "events",
+    "span_dedup_docs": "documents",
+    "simjoin_docs": "documents",
+    "containment_docs": "documents",
+    "redirect_resolution": "documents",
+    "semdedup_docs": "embeddings",
+    "hits_links": "events",
+    "snapshot_diff_docs": "documents",
+    "tag_topics_docs": "documents",
+    "normalize_docs": "documents",
+    "permute_docs": "documents",
+    "lpa_communities": "events",
+    "cross_batch_dedup": "documents",
+    "charset_sniff_docs": "documents",
+    "length_quantiles": "documents",
+    "triangle_counts": "events",
+    "entropy_docs": "documents",
+    "url_templates": "events",
+    "embedding_drift": "embeddings",
+    "bm25_search": "documents",
 }
 
 
