@@ -3951,6 +3951,53 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70 (operators/hopdist.py): multi-source BFS crawl-depth labeling.
+    The link graph is a deterministic 397-node expander-ish graph (two
+    affine out-edges per node, mod a prime) so the BFS tree branches,
+    collides, and cycles within the 6-hop budget — every code path
+    (min-root collapse, visited anti-join, early frontier shrink) runs."""
+    from warcsum_spark.operators.hopdist import hop_distance
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 397
+    edges = (
+        ev.select(h.alias("src"), ((h * 2 + 1) % 397).alias("dst"))
+        .unionByName(
+            ev.select(h.alias("src"), ((h * 5 + 2) % 397).alias("dst"))
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    return hop_distance(edges, seeds, max_hops=6)
+
+
+ORACLE_HOP_DISTANCE = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_id % 397 AS src, ((event_id % 397) * 2 + 1) % 397 AS dst
+    FROM events
+    UNION ALL
+    SELECT event_id % 397 AS src, ((event_id % 397) * 5 + 2) % 397 AS dst
+    FROM events
+  )
+), walk(node, dist, root) AS (
+  SELECT CAST(n AS BIGINT), 0, CAST(n AS BIGINT)
+  FROM (VALUES (0), (1), (2)) s(n)
+  UNION
+  SELECT e.dst, w.dist + 1, w.root
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 6
+), mind AS (
+  SELECT node, min(dist) AS dist FROM walk GROUP BY node
+)
+SELECT w.node, CAST(m.dist AS INT) AS dist, min(w.root) AS root
+FROM walk w
+JOIN mind m ON w.node = m.node AND w.dist = m.dist
+GROUP BY w.node, m.dist
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4045,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": q_containment_docs,
         "semdedup_docs": q_semdedup_docs,
         "bm25_search": q_bm25_search,
+        "hop_distance": q_hop_distance,
     }
 
 
@@ -4135,6 +4183,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolution": ORACLE_REDIRECTS,
         "containment_docs": ORACLE_CONTAINMENT,
         "bm25_search": _oracle_bm25(),
+        "hop_distance": ORACLE_HOP_DISTANCE,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -81,6 +81,7 @@ HEADLINE = [
     "url_templates",
     "embedding_drift",
     "bm25_search",
+    "hop_distance",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -231,6 +232,7 @@ QUERY_PRIMARY_TABLE = {
     "url_templates": "events",
     "embedding_drift": "embeddings",
     "bm25_search": "documents",
+    "hop_distance": "events",
 }
 
 
