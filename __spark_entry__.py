@@ -3998,6 +3998,91 @@ GROUP BY w.node, m.dist
 """
 
 
+def q_revisit_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T71 (operators/revisits.py): revisit-record resolution — the read
+    side of T57's dedup-aware sink. documents' duplicate texts become
+    capture histories (first capture per md5 = response with payload,
+    later captures = payload-less revisits) and the operator rehydrates
+    every revisit from its stored original via the digest join; the
+    binary WARC round-trip is pinned in pytest."""
+    from warcsum_spark.operators.revisits import resolve_revisits
+
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.concat(F.lit("http://site.example/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("date"),
+        "text",
+    )
+    # every 7th page is captured AGAIN later from a mirror — identical
+    # text, so its md5 collides with the first capture and the prep
+    # window turns it into a payload-less revisit
+    recap = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("http://mirror.example/"), F.col("doc_id").cast("string")).alias("uri"),
+        F.lpad((F.col("doc_id") + 1000000).cast("string"), 10, "0").alias("date"),
+        "text",
+    )
+    caps = base.unionByName(recap).select(
+        "uri",
+        "date",
+        F.lit("md5").alias("stored_algo"),
+        F.md5(F.encode("text", "UTF-8")).alias("stored_digest_b32"),
+        "text",
+    )
+    w = Window.partitionBy("stored_digest_b32").orderBy("date", "uri")
+    members = caps.withColumn("_rn", F.row_number().over(w)).select(
+        "uri",
+        "date",
+        "stored_algo",
+        "stored_digest_b32",
+        F.when(F.col("_rn") == 1, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("warc_type"),
+        F.when(F.col("_rn") == 1, F.encode("text", "UTF-8"))
+        .otherwise(F.encode(F.lit(""), "UTF-8"))
+        .alias("payload"),
+    )
+    out = resolve_revisits(members)
+    return out.select(
+        "uri",
+        "date",
+        "warc_type",
+        "resolved",
+        "ref_uri",
+        "ref_date",
+        F.decode("payload", "UTF-8").alias("payload_text"),
+    )
+
+
+ORACLE_REVISIT_REHYDRATE = """
+WITH caps AS (
+  SELECT 'http://site.example/' || CAST(doc_id AS VARCHAR) AS uri,
+         lpad(CAST(doc_id AS VARCHAR), 10, '0') AS date,
+         md5(text) AS dg, text
+  FROM documents
+  UNION ALL
+  SELECT 'http://mirror.example/' || CAST(doc_id AS VARCHAR) AS uri,
+         lpad(CAST(doc_id + 1000000 AS VARCHAR), 10, '0') AS date,
+         md5(text) AS dg, text
+  FROM documents WHERE doc_id % 7 = 0
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY dg ORDER BY date, uri) AS rn
+  FROM caps
+), firsts AS (
+  SELECT dg, uri AS f_uri, date AS f_date, text AS f_text
+  FROM rn WHERE rn = 1
+)
+SELECT r.uri, r.date,
+       CASE WHEN r.rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+       TRUE AS resolved,
+       CASE WHEN r.rn = 1 THEN NULL ELSE f.f_uri END AS ref_uri,
+       CASE WHEN r.rn = 1 THEN NULL ELSE f.f_date END AS ref_date,
+       CASE WHEN r.rn = 1 THEN r.text ELSE f.f_text END AS payload_text
+FROM rn r JOIN firsts f ON r.dg = f.dg
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4093,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": q_semdedup_docs,
         "bm25_search": q_bm25_search,
         "hop_distance": q_hop_distance,
+        "revisit_rehydrate": q_revisit_rehydrate,
     }
 
 
@@ -4184,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_docs": ORACLE_CONTAINMENT,
         "bm25_search": _oracle_bm25(),
         "hop_distance": ORACLE_HOP_DISTANCE,
+        "revisit_rehydrate": ORACLE_REVISIT_REHYDRATE,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -82,6 +82,7 @@ HEADLINE = [
     "embedding_drift",
     "bm25_search",
     "hop_distance",
+    "revisit_rehydrate",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -233,6 +234,7 @@ QUERY_PRIMARY_TABLE = {
     "embedding_drift": "embeddings",
     "bm25_search": "documents",
     "hop_distance": "events",
+    "revisit_rehydrate": "documents",
 }
 
 
