@@ -83,6 +83,7 @@ HEADLINE = [
     "bm25_search",
     "hop_distance",
     "revisit_rehydrate",
+    "dsir_scores_xx",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -235,6 +236,7 @@ QUERY_PRIMARY_TABLE = {
     "bm25_search": "documents",
     "hop_distance": "events",
     "revisit_rehydrate": "documents",
+    "dsir_scores_xx": "documents",
 }
 
 

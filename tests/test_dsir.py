@@ -14,10 +14,10 @@ def _bucket(v, w, B):
     return int(hashlib.md5(f"{v} {w}".encode()).hexdigest()[:8], 16) % B
 
 
-def _py_dsir(target, raw, B, alpha):
+def _py_dsir(target, raw, B, alpha, bucket=_bucket):
     def feats(t):
         toks = t.lower().split()
-        return [_bucket(v, w, B) for v, w in zip(toks, toks[1:])]
+        return [bucket(v, w, B) for v, w in zip(toks, toks[1:])]
 
     ct, cr = {}, {}
     for t in target:
@@ -102,3 +102,48 @@ def test_dsir_plan_broadcasts_weights(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the weight table never shuffles docs
+
+
+def _bucket_xx(v, w, B):
+    """Spark's F.xxhash64(v, w) chain: per-column XXH64 over UTF-8 bytes
+    with the running hash as the next seed, result reinterpreted as a
+    SIGNED 64-bit long, then pmod."""
+    from warcsum_spark.oracle_refs import xxh64
+
+    h = xxh64(v.encode(), 42)
+    h = xxh64(w.encode(), h)
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return signed % B  # python % is pmod for positive modulus
+
+
+def test_dsir_xxhash_tier_matches_python_twin(spark):
+    """The scale tier (hash_fn='xxhash64') under the same estimator:
+    exact equality against the pure-Python twin re-run with the
+    seed-chained XXH64 bucket — pins both the hash chain and that the
+    tier changes ONLY bucket membership, not the math."""
+    target = ["the cat sat on the mat", "the dog sat on the rug"]
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "zz qq ww ee"),
+        (3, "the dog sat"),
+        (4, "one"),
+        (5, ""),
+    ]
+    tdf = spark.createDataFrame([(t,) for t in target], "text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_weight"], r["avg_log_weight"])
+        for r in dsir_scores(
+            rdf, tdf, n_buckets=64, alpha=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert got == _py_dsir(target, raw, 64, 0.5, bucket=_bucket_xx)
+
+
+def test_dsir_rejects_unknown_hash(spark):
+    import pytest
+
+    tdf = spark.createDataFrame([("a b",)], "text string")
+    rdf = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_scores(rdf, tdf, hash_fn="fnv")

@@ -53,19 +53,41 @@ from pyspark.sql import functions as F
 from warcsum_spark.operators.lm_score import _bigram_stream
 
 
-def _feature_bucket(v: Column, w: Column, n_buckets: int) -> Column:
-    key = F.md5(F.concat(v, F.lit(" "), w))
-    return (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets
-    ).alias("bucket")
+def _feature_bucket(
+    v: Column, w: Column, n_buckets: int, hash_fn: str = "md5"
+) -> Column:
+    """Bucket of one bigram feature. ``md5`` is the ORACLE tier (DuckDB
+    recomputes membership exactly — the gate default); ``xxhash64`` is
+    the SCALE tier: the same JVM codegen'd hash the engine's shuffles
+    use, measured ~2.3× cheaper than md5+conv on the bigram stream
+    (1.19 s → 0.81 s incl. the agg at sf0.1 — the hash is ~half the
+    extraction cost at any corpus size, so at 10^13 bigrams this is the
+    difference that matters). Bucket membership differs between tiers
+    (different hash), estimator semantics are identical; the xxhash
+    tier is pinned against a pure-Python XXH64 reference in pytest
+    (oracle_refs.py's from-scratch implementation, seed-chained exactly
+    like F.xxhash64)."""
+    if hash_fn == "md5":
+        key = F.md5(F.concat(v, F.lit(" "), w))
+        return (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_buckets
+        ).alias("bucket")
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(v, w), F.lit(n_buckets)).alias("bucket")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def _bucket_stream(
-    df: DataFrame, id_cols: list[str], text_col: str, n_buckets: int
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    n_buckets: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     bg = _bigram_stream(df, id_cols, text_col)
     return bg.select(
-        *id_cols, _feature_bucket(F.col("v"), F.col("w"), n_buckets)
+        *id_cols,
+        _feature_bucket(F.col("v"), F.col("w"), n_buckets, hash_fn),
     )
 
 
@@ -75,6 +97,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 0.1,
+    hash_fn: str = "md5",
     _raw_hist: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, lw) — per-bucket log importance weight, ≤ ``n_buckets``
@@ -88,14 +111,14 @@ def dsir_weights(
     per-doc aggregate so the raw extraction pass is shared (see module
     docstring); standalone callers leave it None."""
     t = (
-        _bucket_stream(target, [], text_col, n_buckets)
+        _bucket_stream(target, [], text_col, n_buckets, hash_fn)
         .groupBy("bucket")
         .agg(F.count("*").alias("c_t"))
     )
     r = (
         _raw_hist
         if _raw_hist is not None
-        else _bucket_stream(raw, [], text_col, n_buckets)
+        else _bucket_stream(raw, [], text_col, n_buckets, hash_fn)
         .groupBy("bucket")
         .agg(F.count("*").alias("c_r"))
     )
@@ -125,6 +148,7 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = 4096,
     alpha: float = 0.1,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_col, n_features, log_weight, avg_log_weight) for every raw
     doc. Select by ``log_weight`` rank (top slice) or resample by it."""
@@ -135,7 +159,7 @@ def dsir_scores(
     # and without the explicit filter here the raw-histogram branch
     # lacks it, which defeats ReuseExchange and re-runs the extraction.
     keyed = raw.filter(F.col(doc_col).isNotNull())
-    feats = _bucket_stream(keyed, [doc_col], text_col, n_buckets)
+    feats = _bucket_stream(keyed, [doc_col], text_col, n_buckets, hash_fn)
     # per-(doc, bucket) counts: the ONE exchange over the raw stream.
     # Both the raw histogram and the scoring join hang off this same
     # subtree, so ReusedExchange runs the bigram+md5 extraction once.
@@ -147,6 +171,7 @@ def dsir_scores(
         text_col=text_col,
         n_buckets=n_buckets,
         alpha=alpha,
+        hash_fn=hash_fn,
         _raw_hist=raw_hist,
     )
     scored = g.join(F.broadcast(weights), "bucket", "left")

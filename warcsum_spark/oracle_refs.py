@@ -339,3 +339,56 @@ def materialize_bpe_oracle(sf_dir: str, n_merges: int = 25) -> str:
     pq.write_table(out, path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
+
+
+def materialize_dsir_xx_oracle(sf_dir: str, n_buckets: int = 512) -> str:
+    """Independent per-doc DSIR feature stream for the xxhash64 SCALE
+    tier (operators/dsir.py): tokenize each document in Python, bucket
+    every bigram with the seed-chained XXH64 (seed 42 then running hash
+    — exactly F.xxhash64's column chain, signed pmod), and write
+    (doc_id, is_target, bucket, n) rows to parquet. The oracle SQL
+    recomputes the full estimator (histograms, smoothing, lw, per-doc
+    aggregates) from these rows, so the hash chain and the Spark-side
+    arithmetic are checked independently. Cached like the minhash
+    reference (source parquet size+mtime key)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = _cache_key(sf_dir, f"dsirxx_{n_buckets}")
+    path = os.path.join(CACHE_DIR, key + "_feats.parquet")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    doc_ids, targets, buckets, counts = [], [], [], []
+    for doc_id, lang, text in zip(
+        tbl.column("doc_id").to_pylist(),
+        tbl.column("lang").to_pylist(),
+        tbl.column("text").to_pylist(),
+    ):
+        if doc_id is None:
+            continue
+        toks = ("" if text is None else text).lower().split()
+        per: dict[int, int] = {}
+        for v, w in zip(toks, toks[1:]):
+            h = xxh64(v.encode(), 42)
+            h = xxh64(w.encode(), h)
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            b = signed % n_buckets
+            per[b] = per.get(b, 0) + 1
+        for b, n in per.items():
+            doc_ids.append(doc_id)
+            targets.append(lang == "en")
+            buckets.append(b)
+            counts.append(n)
+    out = pa.table(
+        {
+            "doc_id": np.asarray(doc_ids, dtype=np.int64),
+            "is_target": np.asarray(targets, dtype=bool),
+            "bucket": np.asarray(buckets, dtype=np.int64),
+            "n": np.asarray(counts, dtype=np.int64),
+        }
+    )
+    pq.write_table(out, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
