@@ -4135,6 +4135,37 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T72 (operators/mixing.py::temperature_mix): multilingual
+    temperature sampling at alpha=0.3 — the dominant language flattens
+    toward the rarest one, per-doc membership from the stable md5 fine
+    bucket, keep fraction (n_min/n_g)^0.7 rounded before the
+    threshold."""
+    from warcsum_spark.operators.mixing import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, group_col="lang", alpha=0.3)
+
+
+def _oracle_temperature_mix() -> str:
+    from warcsum_spark.operators.mixing import fine_bucket_sql
+
+    b = fine_bucket_sql("doc_id", seed=42)
+    return f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), f AS (
+  SELECT lang,
+         least(round(pow((SELECT min(n) FROM c) / CAST(n AS DOUBLE), 0.7), 6),
+               1.0) AS frac
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f USING (lang)
+WHERE {b} / 65536.0 < f.frac
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4232,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distance": q_hop_distance,
         "revisit_rehydrate": q_revisit_rehydrate,
         "dsir_scores_xx": q_dsir_scores_xx,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -4325,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_distance": ORACLE_HOP_DISTANCE,
         "revisit_rehydrate": ORACLE_REVISIT_REHYDRATE,
         "dsir_scores_xx": _oracle_dsir_xx(),
+        "temperature_mix": _oracle_temperature_mix(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -84,6 +84,7 @@ HEADLINE = [
     "hop_distance",
     "revisit_rehydrate",
     "dsir_scores_xx",
+    "temperature_mix",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -237,6 +238,7 @@ QUERY_PRIMARY_TABLE = {
     "hop_distance": "events",
     "revisit_rehydrate": "documents",
     "dsir_scores_xx": "documents",
+    "temperature_mix": "documents",
 }
 
 

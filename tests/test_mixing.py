@@ -81,3 +81,53 @@ def test_no_driver_action_and_broadcast(spark):
     assert after == before  # no eager job
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_temperature_fractions_closed_form(spark):
+    from warcsum_spark.operators.mixing import temperature_fractions
+
+    rows = [(i, "en") for i in range(800)] + \
+           [(i + 1000, "de") for i in range(150)] + \
+           [(i + 2000, "sw") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: (r["n_group"], r["mix_frac"])
+        for r in temperature_fractions(df, "lang", alpha=0.3).collect()
+    }
+    assert got["sw"] == (50, 1.0)  # rarest group keeps everything
+    assert got["en"] == (800, round((50 / 800) ** 0.7, 6))
+    assert got["de"] == (150, round((50 / 150) ** 0.7, 6))
+
+
+def test_temperature_alpha_bounds(spark):
+    import pytest
+
+    from warcsum_spark.operators.mixing import temperature_fractions, temperature_mix
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError):
+            temperature_fractions(df, "lang", alpha=bad)
+    # alpha = 1 is the natural mix: every row survives
+    rows = [(i, "en") for i in range(100)] + [(i + 500, "de") for i in range(10)]
+    big = spark.createDataFrame(rows, "doc_id long, lang string")
+    assert temperature_mix(big, "lang", alpha=1.0).count() == 110
+
+
+def test_temperature_mix_flattens_and_is_stable(spark):
+    from warcsum_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "en") for i in range(2000)] + \
+           [(i + 10000, "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", alpha=0.0)  # full flattening
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # alpha=0 equalizes toward n_min=200 up to hash quantization
+    assert by["de"] == 200
+    assert abs(by["en"] - 200) < 40
+    # membership is a pure function of (seed, id): repartition-invariant
+    again = temperature_mix(df.repartition(13), "lang", alpha=0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())

@@ -108,3 +108,59 @@ def mix_corpus(
         .filter(keep)
         .select(*df.columns)
     )
+
+
+def temperature_fractions(
+    df: DataFrame, group_col: str, alpha: float
+) -> DataFrame:
+    """(group_col, n_group, mix_frac) for TEMPERATURE sampling — the
+    multilingual-pretraining mix (mBERT/XLM-R style): target shares are
+    computed FROM the natural distribution, ``p_g ∝ n_g^alpha``, instead
+    of handed in. Under the no-upsampling rule the per-group keep
+    fraction collapses to the closed form ``(n_min / n_g)^(1 - alpha)``
+    — the rarest group keeps everything, dominant groups flatten toward
+    it as alpha → 0; alpha = 1 is the natural mix (keep all).
+
+    Same plan shape as ``group_fractions``: one dimension-sized
+    aggregate plus a window over the group table. The fraction is
+    rounded to 6 dp BEFORE the membership threshold (the semdedup
+    discipline) so libm-pow ulp noise cannot flip a row's membership
+    between engines."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1] (no upsampling)")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_group"))
+    n_min = F.min("n_group").over(Window.partitionBy())
+    frac = F.round(
+        F.pow(n_min.cast("double") / F.col("n_group").cast("double"),
+              F.lit(1.0 - alpha)),
+        6,
+    )
+    return counts.select(
+        group_col,
+        "n_group",
+        F.least(frac, F.lit(1.0)).alias("mix_frac"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Survivor rows of the temperature-rebalanced corpus (original
+    columns) — ``mix_corpus`` with the alpha-derived fractions; the
+    same stable md5 fine-bucket membership, so the sample is a pure
+    function of (seed, id) at any partitioning or cluster size."""
+    fracs = temperature_fractions(df, group_col, alpha)
+    keep = (
+        fine_bucket(F.col(id_col), seed) / F.lit(float(_FINE_BUCKETS))
+    ) < F.col("mix_frac")
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(keep)
+        .select(*df.columns)
+    )
