@@ -4166,6 +4166,41 @@ WHERE {b} / 65536.0 < f.frac
 """
 
 
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T73 (operators/domain_gate.py): domain-level quality gating —
+    per-doc verdict n_chars >= 300, domains condemned below a 0.45 pass
+    fraction (sf0.01 produces both verdicts), 25-doc domains so the
+    small-domain default path is pinned in pytest instead."""
+    from warcsum_spark.operators.domain_gate import domain_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = domain_quality_gate(
+        docs,
+        pass_col=(F.col("n_chars") >= 300),
+        group_col="source",
+        min_docs=5,
+        min_pass_frac=0.45,
+    )
+    return out.select(
+        "doc_id", "source", "domain_n_docs", "domain_pass_frac", "domain_kept"
+    )
+
+
+ORACLE_DOMAIN_GATE = """
+WITH s AS (
+  SELECT source,
+         count(*) AS domain_n_docs,
+         round(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS domain_pass_frac
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, s.domain_n_docs, s.domain_pass_frac,
+       CASE WHEN s.domain_n_docs < 5 THEN TRUE
+            ELSE s.domain_pass_frac >= 0.45 END AS domain_kept
+FROM documents d JOIN s USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4264,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_rehydrate": q_revisit_rehydrate,
         "dsir_scores_xx": q_dsir_scores_xx,
         "temperature_mix": q_temperature_mix,
+        "domain_gate": q_domain_gate,
     }
 
 
@@ -4358,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "revisit_rehydrate": ORACLE_REVISIT_REHYDRATE,
         "dsir_scores_xx": _oracle_dsir_xx(),
         "temperature_mix": _oracle_temperature_mix(),
+        "domain_gate": ORACLE_DOMAIN_GATE,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

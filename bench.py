@@ -85,6 +85,7 @@ HEADLINE = [
     "revisit_rehydrate",
     "dsir_scores_xx",
     "temperature_mix",
+    "domain_gate",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -239,6 +240,7 @@ QUERY_PRIMARY_TABLE = {
     "revisit_rehydrate": "documents",
     "dsir_scores_xx": "documents",
     "temperature_mix": "documents",
+    "domain_gate": "documents",
 }
 
 
