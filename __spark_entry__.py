@@ -4201,6 +4201,109 @@ FROM documents d JOIN s USING (source)
 """
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T74 (functions/mime.py): magic-byte MIME sniffing + declared-vs-
+    sniffed mismatch. Payloads synthesize every magic branch from
+    documents (html / png / pdf / gzip / gif / webp / jpeg / plain by
+    doc_id mod 8); declared types rotate mod 3 so mismatches occur. The
+    UTF-8-validity octet-stream fallback is pytest-pinned (DuckDB has
+    no validity probe — the T63 precedent)."""
+    from warcsum_spark.functions.mime import mime_mismatch, normalize_declared, sniff_mime
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 8
+    body = F.encode("text", "UTF-8")
+    payload = (
+        F.when(m == 0, F.concat(F.lit(b"<html><body>"), body))
+        .when(m == 1, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), body))
+        .when(m == 2, F.concat(F.lit(b"%PDF-1.4 "), body))
+        .when(m == 3, F.concat(F.lit(b"\x1f\x8b\x08"), body))
+        .when(m == 4, F.concat(F.lit(b"GIF89a"), body))
+        .when(m == 5, F.concat(F.lit(b"RIFF0000WEBP"), body))
+        .when(m == 6, F.concat(F.lit(b"\xff\xd8\xff"), body))
+        .otherwise(body)
+    )
+    declared = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("text/html; charset=utf-8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    staged = docs.select(
+        "doc_id", payload.alias("payload"), declared.alias("declared")
+    ).withColumn("sniffed", sniff_mime(F.col("payload")))
+    return staged.select(
+        "doc_id",
+        "sniffed",
+        normalize_declared(F.col("declared")).alias("declared_norm"),
+        mime_mismatch(F.col("sniffed"), F.col("declared")).alias("mismatch"),
+    )
+
+
+def _oracle_mime_sniff() -> str:
+    """SQL twin on the escaped-BLOB string form (byte→string map is
+    prefix-preserving, so prefix tests transfer; synthesized text is
+    printable ASCII, so positions line up — T63 precedent). Magic and
+    tag tables are GENERATED from the implementation's own lists."""
+    from warcsum_spark.functions.mime import HTML_TAGS, MAGIC_PREFIXES
+
+    def esc(bs: bytes) -> str:
+        return "".join(
+            chr(c) if 32 <= c < 127 else f"\\x{c:02X}" for c in bs
+        ).replace("'", "''")
+
+    magic_cases = "\n    ".join(
+        f"WHEN starts_with(payload, '{esc(p)}') THEN '{mime}'"
+        for mime, p in MAGIC_PREFIXES
+    )
+    tag_hits = " OR ".join(
+        f"starts_with(lead, '{t} ') OR starts_with(lead, '{t}>')"
+        for t in HTML_TAGS
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN '<html><body>' || text
+      WHEN 1 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A' || text
+      WHEN 2 THEN '%PDF-1.4 ' || text
+      WHEN 3 THEN '\\x1F\\x8B\\x08' || text
+      WHEN 4 THEN 'GIF89a' || text
+      WHEN 5 THEN 'RIFF0000WEBP' || text
+      WHEN 6 THEN '\\xFF\\xD8\\xFF' || text
+      ELSE text END AS payload,
+    CASE doc_id % 3
+      WHEN 0 THEN 'text/html; charset=utf-8'
+      WHEN 1 THEN 'image/png'
+      ELSE 'application/octet-stream' END AS declared
+  FROM documents
+), sniff AS (
+  SELECT doc_id, declared, upper(payload) AS lead,
+    CASE
+    {magic_cases}
+    WHEN substr(payload, 1, 4) = 'RIFF' AND substr(payload, 9, 4) = 'WEBP'
+      THEN 'image/webp'
+    ELSE NULL END AS magic,
+    payload
+  FROM staged
+), typed AS (
+  SELECT doc_id, declared,
+    coalesce(
+      magic,
+      CASE WHEN {tag_hits} THEN 'text/html'
+           WHEN starts_with(lead, '<?XML') THEN 'text/xml'
+           ELSE 'text/plain' END
+    ) AS sniffed
+  FROM sniff
+)
+SELECT doc_id, sniffed,
+       trim(lower(split_part(declared, ';', 1))) AS declared_norm,
+       NOT (starts_with(sniffed, 'text/')
+            AND starts_with(trim(lower(split_part(declared, ';', 1))), 'text/'))
+       AND sniffed <> trim(lower(split_part(declared, ';', 1))) AS mismatch
+FROM typed
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4300,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores_xx": q_dsir_scores_xx,
         "temperature_mix": q_temperature_mix,
         "domain_gate": q_domain_gate,
+        "mime_sniff": q_mime_sniff,
     }
 
 
@@ -4395,6 +4499,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores_xx": _oracle_dsir_xx(),
         "temperature_mix": _oracle_temperature_mix(),
         "domain_gate": ORACLE_DOMAIN_GATE,
+        "mime_sniff": _oracle_mime_sniff(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

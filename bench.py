@@ -86,6 +86,7 @@ HEADLINE = [
     "dsir_scores_xx",
     "temperature_mix",
     "domain_gate",
+    "mime_sniff",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -241,6 +242,7 @@ QUERY_PRIMARY_TABLE = {
     "dsir_scores_xx": "documents",
     "temperature_mix": "documents",
     "domain_gate": "documents",
+    "mime_sniff": "documents",
 }
 
 
