@@ -4304,6 +4304,69 @@ FROM typed
 """
 
 
+_FETCH_DELAYS = [
+    (f"host{n}.test", None if n == 3 else (n % 4) * 0.5 + 0.5)
+    for n in range(10)
+]  # hosts 10-19 absent → default path; host3 null → coalesce path
+
+
+def q_fetch_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T75 (frontier/fetchtimes.py): the politeness fetch timeline for a
+    scheduled round — per-URL dispatch offsets under each host's
+    Crawl-delay plus the per-host finish time (the budget-rebalancing
+    signal). Composes the R5 scheduler with the new assignment: zero
+    exchanges beyond the schedule's own."""
+    from warcsum_spark.frontier.fetchtimes import assign_fetch_times, round_makespan
+    from warcsum_spark.frontier.politeness import schedule_per_host
+
+    cand = _event_urls(spark, sf_dir).drop("event_type")
+    sched = schedule_per_host(cand, politeness=None, default_budget=3).select(
+        "host", "url", "priority", "host_rank"
+    )
+    delays = spark.createDataFrame(
+        _FETCH_DELAYS, "host string, crawl_delay double"
+    )
+    assigned = assign_fetch_times(sched, delays, default_delay=1.0)
+    finish = round_makespan(assigned)
+    return assigned.join(F.broadcast(finish), "host").select(
+        "host", "url", "host_rank", "crawl_delay", "fetch_at",
+        "n_urls", "finish_at",
+    )
+
+
+def _oracle_fetch_times() -> str:
+    vals = ", ".join(
+        f"('{h}', {'NULL' if d is None else d})" for h, d in _FETCH_DELAYS
+    )
+    return f"""
+WITH cand AS (
+  SELECT 'http://host' || CAST(user_id % 20 AS VARCHAR) || '.test/p/' || CAST(event_id AS VARCHAR) AS url,
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+         value AS priority
+  FROM events
+), sched AS (
+  SELECT host, url, CAST(rnk AS INT) AS host_rank FROM (
+    SELECT host, url,
+           row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rnk
+    FROM cand
+  ) WHERE rnk <= 3
+), delays(host, crawl_delay) AS (VALUES {vals}),
+assigned AS (
+  SELECT s.host, s.url, s.host_rank,
+         round(coalesce(CAST(d.crawl_delay AS DOUBLE), 1.0), 6) AS crawl_delay,
+         round((s.host_rank - 1) * coalesce(CAST(d.crawl_delay AS DOUBLE), 1.0), 6) AS fetch_at
+  FROM sched s LEFT JOIN delays d USING (host)
+), finish AS (
+  SELECT host, count(*) AS n_urls,
+         round(max(fetch_at + crawl_delay), 6) AS finish_at
+  FROM assigned GROUP BY host
+)
+SELECT a.host, a.url, a.host_rank, a.crawl_delay, a.fetch_at,
+       f.n_urls, f.finish_at
+FROM assigned a JOIN finish f USING (host)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4404,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "domain_gate": q_domain_gate,
         "mime_sniff": q_mime_sniff,
+        "fetch_times": q_fetch_times,
     }
 
 
@@ -4500,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _oracle_temperature_mix(),
         "domain_gate": ORACLE_DOMAIN_GATE,
         "mime_sniff": _oracle_mime_sniff(),
+        "fetch_times": _oracle_fetch_times(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

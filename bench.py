@@ -87,6 +87,7 @@ HEADLINE = [
     "temperature_mix",
     "domain_gate",
     "mime_sniff",
+    "fetch_times",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -243,6 +244,7 @@ QUERY_PRIMARY_TABLE = {
     "temperature_mix": "documents",
     "domain_gate": "documents",
     "mime_sniff": "documents",
+    "fetch_times": "events",
 }
 
 
