@@ -4367,6 +4367,58 @@ FROM assigned a JOIN finish f USING (host)
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T76 (operators/packing.py::pack_sequences): GPT-style sequence
+    packing — corpus concatenated in the seed-42 permutation order and
+    split into 64-token training windows (docs average ~50 tokens, so
+    boundary straddling is the common case, not the corner)."""
+    from warcsum_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=64, n_shards=8, seed=42)
+
+
+def _oracle_pack_sequences() -> str:
+    from warcsum_spark.functions.sampling import bucket_sql
+
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+         ({bucket_sql("doc_id", 42)}) % 8 AS shard_id,
+         CASE WHEN t = '' THEN 0
+              ELSE len(string_split(t, ' ')) END AS n_tokens
+  FROM norm
+), pos AS (
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS INT) AS pos
+  FROM keyed
+), within AS (
+  SELECT *, sum(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start_in_shard
+  FROM pos
+), offs AS (
+  SELECT shard_id, coalesce(sum(tok) OVER (
+           ORDER BY shard_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM (SELECT shard_id, sum(n_tokens) AS tok FROM within GROUP BY shard_id)
+)
+SELECT w.doc_id, w.shard_id, w.pos,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.off + w.start_in_shard AS BIGINT) AS tok_start,
+       (o.off + w.start_in_shard) // 64 AS seq_id_start,
+       (o.off + w.start_in_shard + greatest(w.n_tokens, 1) - 1) // 64 AS seq_id_end,
+       CAST((o.off + w.start_in_shard) % 64 AS BIGINT) AS offset_in_seq
+FROM within w JOIN offs o USING (shard_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4468,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_gate": q_domain_gate,
         "mime_sniff": q_mime_sniff,
         "fetch_times": q_fetch_times,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -4565,6 +4618,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_gate": ORACLE_DOMAIN_GATE,
         "mime_sniff": _oracle_mime_sniff(),
         "fetch_times": _oracle_fetch_times(),
+        "pack_sequences": _oracle_pack_sequences(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

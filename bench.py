@@ -88,6 +88,7 @@ HEADLINE = [
     "domain_gate",
     "mime_sniff",
     "fetch_times",
+    "pack_sequences",
     # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
@@ -245,6 +246,7 @@ QUERY_PRIMARY_TABLE = {
     "domain_gate": "documents",
     "mime_sniff": "documents",
     "fetch_times": "events",
+    "pack_sequences": "documents",
 }
 
 

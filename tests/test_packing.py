@@ -101,3 +101,73 @@ def test_no_corpus_wide_single_partition_window(spark):
     # corpus-side window partitioned by _bucket
     assert "Window [" in plan and "partitionBy" not in plan  # plan prints specs inline
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# T76 — pack_sequences (GPT-style fixed-window sequence packing)
+# ---------------------------------------------------------------------------
+
+def _seq_ref(rows, seq_len, n_shards, seed):
+    """Independent reference: same permutation (md5 order), then a plain
+    sequential concat-and-split walk over the token stream."""
+    import hashlib
+
+    def key(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+    def shard(i):
+        return int(key(i)[:2], 16) % n_shards
+
+    toks = {i: (len(t.split()) if t.strip() else 0) for i, t in rows}
+    order = sorted(toks, key=lambda i: (shard(i), key(i), i))
+    out, cursor = {}, 0
+    for i in order:
+        n = toks[i]
+        last = cursor + max(n, 1) - 1
+        out[i] = (n, cursor, cursor // seq_len, last // seq_len,
+                  cursor % seq_len)
+        cursor += n
+    return out
+
+
+def test_pack_sequences_matches_reference(spark):
+    from warcsum_spark.operators.packing import pack_sequences
+
+    rows = [(i, ("tok " * ((i * 7) % 23 + 1)).strip()) for i in range(60)]
+    rows += [(60, ""), (61, "   ")]  # zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"], r["seq_id_start"],
+                      r["seq_id_end"], r["offset_in_seq"])
+        for r in pack_sequences(df, seq_len=16, n_shards=4, seed=7).collect()
+    }
+    assert got == _seq_ref(rows, 16, 4, 7)
+
+
+def test_pack_sequences_token_stream_is_gapless(spark):
+    from warcsum_spark.operators.packing import pack_sequences
+
+    rows = [(i, "a b c d e f g"[: (i % 13) + 1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["tok_start"], r["n_tokens"])
+        for r in pack_sequences(df, seq_len=8, n_shards=4).collect()
+    )
+    cursor = 0
+    for start, n in out:
+        assert start == cursor
+        cursor += n
+
+
+def test_pack_sequences_repartition_invariant_and_validates(spark):
+    import pytest
+
+    from warcsum_spark.operators.packing import pack_sequences
+
+    rows = [(i, "w " * (i % 5 + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=8).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(11), seq_len=8).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)

@@ -79,3 +79,88 @@ def pack_shards(
         )
         .drop("_bucket", "_offset")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T76 — GPT-style sequence packing: concatenate the corpus in a
+    SEEDED permutation order (epoch order ≠ crawl order) and split the
+    token stream into fixed ``seq_len`` windows — the layout causal-LM
+    training actually consumes, where documents straddle sequence
+    boundaries rather than padding them.
+
+    Returns one row per document:
+    (doc_id, shard_id, pos, n_tokens, tok_start, seq_id_start,
+    seq_id_end, offset_in_seq) — ``tok_start`` is the document's
+    0-based offset in the concatenated token stream, ``seq_id_start/
+    _end`` the first/last training sequence it touches, and
+    ``offset_in_seq`` its position inside the first one. A loader
+    materializes sequence s by reading docs with
+    ``seq_id_start <= s <= seq_id_end`` in (shard_id, pos) order.
+
+    Scale shape — no global sort, no corpus re-join:
+    * the permutation is shuffle.py's two-level form, and the per-doc
+      token count RIDES its one exchange (``_permutation_positions``
+      carry — a second corpus-keyed join to re-attach counts would
+      double the shuffle);
+    * within-shard running token sums share the permutation window's
+      partitioning (same exchange);
+    * shard token totals → offsets: a window over the ≤ n_shards-row
+      dimension, broadcast back (the pack_shards discipline).
+    Tokens are the battery-wide whitespace tokens; empty docs occupy
+    zero tokens and report their boundary position."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from warcsum_spark.operators.shuffle import _permutation_positions
+
+    norm = F.trim(
+        F.regexp_replace(F.col(text_col), r"[ \t\n\x0b\f\r]+", " ")
+    )
+    n_tokens = (
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    pos = _permutation_positions(
+        docs, n_shards, seed, id_col, carry=[n_tokens]
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = pos.withColumn(
+        "_start_in_shard", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    totals = within.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("_tok")
+    )
+    offsets = totals.select(
+        "shard_id",
+        F.sum("_tok")
+        .over(
+            Window.orderBy("shard_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("_off"),
+    ).fillna(0, subset=["_off"])
+    start = F.col("_off") + F.col("_start_in_shard")
+    last_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return within.join(F.broadcast(offsets), "shard_id").select(
+        "doc_id",
+        "shard_id",
+        "pos",
+        "n_tokens",
+        start.alias("tok_start"),
+        F.floor(start / seq_len).cast("long").alias("seq_id_start"),
+        F.floor(last_tok / seq_len).cast("long").alias("seq_id_end"),
+        (start % seq_len).alias("offset_in_seq"),
+    )

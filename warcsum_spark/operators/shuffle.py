@@ -32,6 +32,34 @@ from pyspark.sql import functions as F
 from warcsum_spark.functions.sampling import bucket_sql
 
 
+def _permutation_positions(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str,
+    carry: list = (),
+) -> DataFrame:
+    """(doc_id, shard_id, pos [, carry...]) — the seeded two-level
+    permutation core. ``carry`` columns ride the ONE permutation
+    exchange so downstream consumers (sequence packing) never pay a
+    second corpus-keyed join to re-attach their per-doc values."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("_key"),
+        (bucket % n_shards).alias("shard_id"),
+        *carry,
+    )
+    w = Window.partitionBy("shard_id").orderBy("_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).alias("pos"),
+        *keyed.columns[3:],
+    )
+
+
 def permute_corpus(
     docs: DataFrame,
     n_shards: int = 8,
@@ -41,17 +69,7 @@ def permute_corpus(
     """(doc_id, shard_id, pos, global_pos): a seeded permutation of the
     input — ``global_pos`` is 1..N exactly once, equal to reading
     shards in id order and rows in ``pos`` order within each."""
-    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    bucket = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        key.alias("_key"),
-        (bucket % n_shards).alias("shard_id"),
-    )
-    w = Window.partitionBy("shard_id").orderBy("_key", "doc_id")
-    pos = keyed.select(
-        "doc_id", "shard_id", F.row_number().over(w).alias("pos")
-    )
+    pos = _permutation_positions(docs, n_shards, seed, id_col)
     sizes = pos.groupBy("shard_id").agg(F.max("pos").alias("_n"))
     offsets = sizes.select(
         "shard_id",
