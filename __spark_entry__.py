@@ -4419,6 +4419,46 @@ FROM within w JOIN offs o USING (shard_id)
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T77 (operators/splits.py): leakage-safe cluster-aware split —
+    every member of a duplicate cluster gets the split of its cluster
+    key, so no cluster straddles train/val/test. Pair evidence here is
+    a synthesized chain graph (doc_id↔doc_id+1 for doc_id%10<3):
+    components have diameter 3, so the oracle checks true multi-hop
+    label propagation, not just clique collapse."""
+    from warcsum_spark.operators.splits import cluster_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pairs = docs.where(d % 10 < 3).select(
+        d.alias("doc_a"), (d + 1).alias("doc_b")
+    )
+    return cluster_split(docs, pairs).select("doc_id", "split_key", "split")
+
+
+def _oracle_cluster_split() -> str:
+    from warcsum_spark.functions.sampling import bucket_sql, split_bounds
+
+    # chain (i, i+1) for i%10 in {0,1,2} ⇒ component of n is n-(n%10)
+    # when n%10<=3, else n itself — closed form, no recursion needed
+    b = bucket_sql("split_key")
+    branches = ""
+    bounds = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    for name, _lo, hi in bounds[:-1]:
+        branches += f"WHEN {b} < {hi} THEN '{name}' "
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 <= 3 THEN doc_id - (doc_id % 10)
+              ELSE doc_id END AS split_key
+  FROM documents
+)
+SELECT doc_id, split_key,
+       CASE {branches}ELSE '{bounds[-1][0]}' END AS split
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4521,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "fetch_times": q_fetch_times,
         "pack_sequences": q_pack_sequences,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -4619,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": _oracle_mime_sniff(),
         "fetch_times": _oracle_fetch_times(),
         "pack_sequences": _oracle_pack_sequences(),
+        "cluster_split": _oracle_cluster_split(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -89,7 +89,9 @@ HEADLINE = [
     "mime_sniff",
     "fetch_times",
     "pack_sequences",
-    # bpe_merges is deliberately NOT here: 25 sequential argmax rounds
+    # bpe_merges (and cluster_split, whose connected-components rounds
+    # have the same profile) is deliberately NOT here: 25 sequential
+    # argmax rounds
     # measure per-round fixed overhead (~0.55 s/round at any small sf),
     # not data throughput — it would read as a bogus suite regression.
     # It stays correctness-gated (driver oracle) and amortizes with
