@@ -4419,6 +4419,34 @@ FROM within w JOIN offs o USING (shard_id)
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T78 (operators/ccnet.py): CCNet-style per-language quality
+    terciles — head/middle/tail by rank within each language. The
+    gate scores on ``n_chars`` (deterministic, schema-native); the
+    production input is the T39 ``lm_perplexity`` score, composed in
+    tests/test_ccnet.py."""
+    from warcsum_spark.operators.ccnet import rank_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return rank_buckets(docs, "n_chars", ("lang",)).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+ORACLE_CCNET_BUCKETS = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE CAST(floor((3.0 * (rn - 1)) / CAST(n AS DOUBLE)) AS INT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T77 (operators/splits.py): leakage-safe cluster-aware split —
     every member of a duplicate cluster gets the split of its cluster
@@ -4562,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_times": q_fetch_times,
         "pack_sequences": q_pack_sequences,
         "cluster_split": q_cluster_split,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -4661,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_times": _oracle_fetch_times(),
         "pack_sequences": _oracle_pack_sequences(),
         "cluster_split": _oracle_cluster_split(),
+        "ccnet_buckets": ORACLE_CCNET_BUCKETS,
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -89,6 +89,7 @@ HEADLINE = [
     "mime_sniff",
     "fetch_times",
     "pack_sequences",
+    "ccnet_buckets",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -177,14 +178,14 @@ def main() -> None:
         "loadavg_1min": round(os.getloadavg()[0], 1),
     }
     # carry the latest data-scaling evidence (bench.py --scale-suite)
-    # into the per-round artifact so BENCH_r{N}.json is self-contained
-    scale_art = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "suite_scale.json"
-    )
-    if os.path.exists(scale_art):
-        with open(scale_art) as f:
-            art = json.load(f)
-        payload["scale_suite"] = art.get("summary", art)
+    # into the per-round artifact so BENCH_r{N}.json is self-contained:
+    # one summary per stored amplification factor (x10, x30, ...)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    arts = _load_scale_artifacts(repo)
+    if arts:
+        payload["scale_suite"] = arts[0]["summary"]  # back-compat: x10
+        if len(arts) > 1:
+            payload["scale_suite_curve"] = [a["summary"] for a in arts]
     print(json.dumps(payload))
     spark.stop()
 
@@ -249,6 +250,7 @@ QUERY_PRIMARY_TABLE = {
     "mime_sniff": "documents",
     "fetch_times": "events",
     "pack_sequences": "documents",
+    "ccnet_buckets": "documents",
 }
 
 
