@@ -2609,6 +2609,35 @@ def q_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 8).alias("rank"))
 
 
+def q_trustrank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T79 (operators/pagerank.py::trustrank): personalized PageRank
+    from a trusted seed set {0..4} over the same link graph as
+    `pagerank_links` — pages organic trust never reaches rank ≈ 0
+    (the link-farm demotion signal). Same dangling-node structure
+    (nodes 40-49), so the seed-directed mass return is exercised."""
+    from warcsum_spark.operators.pagerank import trustrank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    seeds = spark.range(5).withColumnRenamed("id", "node")
+    tr = trustrank(edges, seeds, damping=0.85, iters=4)
+    return tr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _oracle_trustrank() -> str:
+    from warcsum_spark.operators.pagerank import trustrank_oracle_sql
+
+    return trustrank_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        "SELECT * FROM (VALUES (0),(1),(2),(3),(4)) AS t(node)",
+        damping=0.85,
+        iters=4,
+    )
+
+
 def _oracle_pagerank() -> str:
     from warcsum_spark.operators.pagerank import pagerank_oracle_sql
 
@@ -4591,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "cluster_split": q_cluster_split,
         "ccnet_buckets": q_ccnet_buckets,
+        "trustrank_links": q_trustrank_links,
     }
 
 
@@ -4691,6 +4721,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "cluster_split": _oracle_cluster_split(),
         "ccnet_buckets": ORACLE_CCNET_BUCKETS,
+        "trustrank_links": _oracle_trustrank(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

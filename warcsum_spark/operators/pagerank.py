@@ -139,3 +139,152 @@ def pagerank_oracle_sql(
         f"{body}\n"
         f"SELECT node, round(rank, {final_scale}) AS rank FROM r{iters}"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    round_scale: int = 10,
+) -> DataFrame:
+    """T79 — TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004):
+    personalized PageRank whose teleport vector is uniform over a
+    trusted SEED SET instead of all nodes — trust flows out from
+    hand-vetted pages, and spam neighborhoods that organic link mass
+    never reaches end up with rank ≈ 0. The standard web-spam demotion
+    signal beside raw PageRank (a page with high PageRank but low
+    TrustRank is the classic link-farm signature).
+
+    Differences from ``pagerank`` above, per the paper: the start
+    vector, the (1−d) teleport term, and the dangling-node mass all
+    concentrate on the seeds (mass returns to the trusted set, not
+    uniformly). Seeds outside the graph's node set are ignored; the
+    effective seed count normalizes the teleport. Everything else —
+    per-round rounding for engine-exactness, one edge join + one
+    dst-keyed aggregation per iteration, localCheckpoint lineage cuts,
+    (node, double) shuffle rows — is the T32 discipline unchanged. The
+    seed table is dimension-sized by definition (hand-vetted) and is
+    broadcast; at 10^10 edges the per-iteration cost is identical to
+    pagerank's.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    marked = nodes.join(
+        F.broadcast(s.withColumn("_is_seed", F.lit(True))), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed")
+    ).localCheckpoint(eager=True)
+    ns1 = marked.agg(
+        F.sum(F.col("_is_seed").cast("long")).alias("_ns")
+    )  # one row, broadcast below
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_w = e.join(deg, "src").localCheckpoint(eager=True)
+
+    def _teleport():
+        return F.when(
+            F.col("_is_seed"), F.lit(1.0) / F.col("_ns")
+        ).otherwise(F.lit(0.0))
+
+    ranks = marked.crossJoin(F.broadcast(ns1)).select(
+        "node",
+        "_is_seed",
+        F.round(_teleport(), round_scale).alias("rank"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contribs = (
+            e_w.join(ranks, e_w.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("_contrib"))
+        )
+        dangling = ranks.join(deg, ranks.node == deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        ranks = (
+            marked.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(ns1))
+            .select(
+                "node",
+                "_is_seed",
+                F.round(
+                    (1.0 - damping) * _teleport()
+                    + damping
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dm") * _teleport()
+                    ),
+                    round_scale,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+def trustrank_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    damping: float = 0.85,
+    iters: int = 4,
+    round_scale: int = 10,
+    final_scale: int = 8,
+) -> str:
+    """The identical iteration unrolled as chained CTEs (T32 oracle
+    discipline). ``seeds_cte`` yields (node); seeds outside the graph
+    are dropped before normalization, exactly as the engine does."""
+    d = damping
+    t = "CASE WHEN m.is_seed THEN 1.0 / ns.ns ELSE 0.0 END"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"s AS (SELECT DISTINCT node FROM ({seeds_cte}) "
+        "WHERE node IN (SELECT node FROM nodes))",
+        "m AS (SELECT nodes.node, nodes.node IN (SELECT node FROM s) "
+        "AS is_seed FROM nodes)",
+        "ns AS (SELECT count(*) AS ns FROM s)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT m.node, round({t}, {round_scale}) AS rank "
+        "FROM m, ns)",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"c{i + 1} AS (SELECT e.dst AS node, "
+            f"sum({prev}.rank / deg.deg) AS contrib "
+            f"FROM e JOIN deg USING (src) JOIN {prev} ON {prev}.node = e.src "
+            f"GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i + 1} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"{cur} AS (SELECT m.node, "
+            f"round((1.0 - {d}) * {t} + {d} * (coalesce(c{i + 1}.contrib, 0.0) "
+            f"+ d{i + 1}.dm * {t}), {round_scale}) AS rank "
+            f"FROM m LEFT JOIN c{i + 1} ON c{i + 1}.node = m.node, "
+            f"d{i + 1}, ns)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(rank, {final_scale}) AS rank FROM r{iters}"
+    )
