@@ -30,6 +30,43 @@ ARROW_MAX_RECORDS_PER_BATCH = 65536
 ARROW_MAX_BYTES_PER_BATCH = str(32 * 1024 * 1024)
 
 
+def _local_dir() -> str:
+    """Per-process spark.local.dir under a shared base, with stale-dir
+    reaping.
+
+    The base default is RAM-backed tmpfs (this box's disk anti-scales
+    under 32 concurrent shuffle writers — see the config comment below),
+    which adds a failure mode disk does not have: Spark removes its
+    local dir via a JVM shutdown hook, so a SIGKILLed/OOM-killed JVM
+    leaves its shuffle spill RESIDENT IN RAM forever. One crashed
+    big-shuffle run then starves every later run on the box (observed:
+    84 GB of orphaned spill → host OOM-killer cascade). Keying the dir
+    by pid and reaping dirs whose owning process is gone makes each new
+    session clean up after any crashed predecessor."""
+    base = os.environ.get("WARCSUM_LOCAL_DIR", "/dev/shm/warcsum_spark_local")
+    try:
+        for name in os.listdir(base):
+            if not name.startswith("pid-"):
+                continue
+            try:
+                pid = int(name[4:])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # raises if no such process
+            except ProcessLookupError:
+                import shutil
+
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # someone else's live process
+    except FileNotFoundError:
+        pass
+    return os.path.join(base, f"pid-{os.getpid()}")
+
+
 def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
@@ -76,11 +113,9 @@ def get_spark(
         # local-mode shuffle spills to spark.local.dir; this box's disk
         # anti-scales under 32 concurrent shuffle writers (measured 2×
         # slowdown 8→32 threads) while the memory-backed tmpfs scales.
-        # On a real cluster the cluster manager overrides local dirs.
-        .config(
-            "spark.local.dir",
-            os.environ.get("WARCSUM_LOCAL_DIR", "/dev/shm/warcsum_spark_local"),
-        )
+        # Per-pid subdir + stale reaping: see _local_dir. On a real
+        # cluster the cluster manager overrides local dirs.
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
