@@ -98,3 +98,63 @@ def test_uniform_seed_set_recovers_pagerank(spark):
     tr = _run(spark, edges, nodes, iters=3)
     for k in pr:
         assert tr[k] == pytest.approx(pr[k], abs=1e-9), k
+
+
+def test_trustrank_drives_frontier_priorities(spark):
+    """Composition (the operator's purpose): TrustRank from the crawl's
+    own seed list becomes the frontier priority — spam-demoted crawl
+    ordering — and the order matches the oracle simulator fed the same
+    scores, round by round."""
+    from pyspark.sql import functions as F
+
+    from warcsum_spark.fixtures import gen_frontier_fixture
+    from warcsum_spark.frontier.superstep import (
+        frontier_round,
+        init_frontier,
+        scheduled_order,
+    )
+    from warcsum_spark.oracle import canonicalize_url as oracle_canon
+    from warcsum_spark.oracle import simulate_crawl
+
+    seeds, link_graph, budgets, robots = gen_frontier_fixture()
+    edge_rows = [
+        (oracle_canon(u), oracle_canon(v))
+        for u, outs in link_graph.items()
+        for v in outs
+        if oracle_canon(u) and oracle_canon(v)
+    ]
+    edges = spark.createDataFrame(edge_rows, "src string, dst string")
+    trusted = spark.createDataFrame(
+        [(oracle_canon(u),) for u, _ in seeds], "node string"
+    )
+    tr = trustrank(edges, trusted, iters=3)
+    scores = {r["node"]: r["rank"] for r in tr.collect()}
+
+    tr_seeds = [(u, scores[oracle_canon(u)]) for u, _ in seeds]
+    sim = simulate_crawl(tr_seeds, link_graph, budgets, robots, rounds=3)
+    state = init_frontier(
+        spark,
+        tr.select(F.col("node").alias("url"), F.col("rank").alias("priority"))
+        .join(trusted.withColumnRenamed("node", "url"), "url"),
+    )
+    lg_df = spark.createDataFrame(
+        [(u, outs) for u, outs in sorted(link_graph.items())],
+        "url string, outlinks array<string>",
+    )
+    pol_df = spark.createDataFrame(
+        sorted(budgets.items()), "host string, budget int"
+    )
+    robots_df = spark.createDataFrame(
+        [
+            (h, [{"allow": a, "prefix": p} for a, p in rules])
+            for h, rules in sorted(robots.items())
+        ],
+        "host string, rules array<struct<allow boolean, prefix string>>",
+    )
+    for rnd in range(3):
+        state, sched = frontier_round(
+            spark, state, lg_df, robots=robots_df, politeness=pol_df
+        )
+        assert (
+            scheduled_order(sched) == sim.scheduled_per_round[rnd]
+        ), f"round {rnd}"
