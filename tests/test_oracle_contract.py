@@ -45,7 +45,17 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_query_matches_duckdb(spark, sf_dir, duck, name):
+    from pyspark.sql import types as T
+
     df = entry_mod.queries()[name](spark, sf_dir)
+    # Driver contract: the canonicalizer sorts rows via pandas, which
+    # cannot hash list/dict cells — nested types in a driver-facing
+    # result schema are a guaranteed red row (round-4 inverted_index).
+    # Operators may return arrays; driver queries must stringify them.
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"driver-facing query {name!r} column {f.name!r} is nested: {f.dataType}"
     spark_rows = [list(r) for r in df.collect()]
     # oracle_sql_for regenerates data-dependent oracles (IVF quantizer)
     # for THIS sf; the shipped oracle_sql() bakes the driver's sf0.01

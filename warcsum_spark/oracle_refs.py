@@ -352,7 +352,10 @@ def materialize_dsir_xx_oracle(sf_dir: str, n_buckets: int = 512) -> str:
     arithmetic are checked independently. Cached like the minhash
     reference (source parquet size+mtime key)."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    key = _cache_key(sf_dir, f"dsirxx_{n_buckets}")
+    # tag v2: tokenization fixed to ASCII-whitespace (stale v1 caches
+    # carry str.split() output — identical on ASCII fixtures, but
+    # regenerate anyway so the fix is live everywhere)
+    key = _cache_key(sf_dir, f"dsirxx2_{n_buckets}")
     path = os.path.join(CACHE_DIR, key + "_feats.parquet")
     if os.path.exists(path):
         return path
@@ -368,7 +371,17 @@ def materialize_dsir_xx_oracle(sf_dir: str, n_buckets: int = 512) -> str:
     ):
         if doc_id is None:
             continue
-        toks = ("" if text is None else text).lower().split()
+        # pin the ENGINE tokenization (ASCII whitespace only): str.split()
+        # splits on all Unicode whitespace (NBSP, U+2028, …) while the
+        # engine's bigram stream splits on [ \t\n\x0b\f\r] — ASCII-only
+        # fixtures masked the difference (round-4 ADVICE item)
+        toks = [
+            t
+            for t in re.split(
+                r"[ \t\n\x0b\f\r]+", ("" if text is None else text).lower()
+            )
+            if t
+        ]
         per: dict[int, int] = {}
         for v, w in zip(toks, toks[1:]):
             h = xxh64(v.encode(), 42)
@@ -387,6 +400,57 @@ def materialize_dsir_xx_oracle(sf_dir: str, n_buckets: int = 512) -> str:
             "is_target": np.asarray(targets, dtype=bool),
             "bucket": np.asarray(buckets, dtype=np.int64),
             "n": np.asarray(counts, dtype=np.int64),
+        }
+    )
+    pq.write_table(out, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def materialize_byte_entropy_oracle(sf_dir: str) -> str:
+    """Independent per-doc reference for the Arrow byte-entropy tier
+    (functions/entropy.py::byte_entropy / compress_ratio): one document
+    at a time, bytes counted with collections.Counter and the entropy
+    sum accumulated with math.fsum in ascending byte order — no numpy
+    bincount, no pairwise vector summation, so a kernel bug cannot be
+    mirrored here. zlib level 6 is the *definition* of the ratio, so
+    both paths share it. Writes (doc_id, byte_entropy, compress_ratio)
+    parquet (nulls for null/empty text) and returns the path. Cached on
+    the source parquet's (size, mtime) like the minhash reference."""
+    import math
+    import zlib
+    from collections import Counter
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, _cache_key(sf_dir, "byteent") + ".parquet")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids, ents, ratios = [], [], []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        ids.append(doc_id)
+        if not text:
+            ents.append(None)
+            ratios.append(None)
+            continue
+        raw = text.encode("utf-8")
+        cnt = Counter(raw)
+        total = float(len(raw))
+        ent = -math.fsum(
+            (c / total) * math.log2(c / total)
+            for _, c in sorted(cnt.items())
+        )
+        ents.append(round(ent, 6))
+        ratios.append(round(len(zlib.compress(raw, 6)) / len(raw), 6))
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "byte_entropy": pa.array(ents, type=pa.float64()),
+            "compress_ratio": pa.array(ratios, type=pa.float64()),
         }
     )
     pq.write_table(out, path + ".tmp")
