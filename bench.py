@@ -90,6 +90,8 @@ HEADLINE = [
     "fetch_times",
     "pack_sequences",
     "ccnet_buckets",
+    # round 5 additions — appended for the same delta-comparability reason
+    "entropy_docs_bytes",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -187,6 +189,35 @@ def main() -> None:
         if len(arts) > 1:
             payload["scale_suite_curve"] = [a["summary"] for a in arts]
     print(json.dumps(payload))
+    # The full payload (now ~60 queries + the scale curve) exceeds the
+    # driver's 2000-char stdout tail capture, which made BENCH_r04.json
+    # parse as null. Persist it, then end stdout with a compact line that
+    # always fits inside any tail window — the LAST line is what a
+    # tail-capture parser sees.
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    with open(os.path.join(repo, "BENCH", "headline_full.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(times),
+        "loadavg_1min": payload["loadavg_1min"],
+        "queries_full": "BENCH/headline_full.json",
+    }
+    if arts:
+        compact["scale_curve"] = [
+            {
+                "factor": a["summary"]["factor"],
+                "time_ratio": a["summary"]["time_ratio"],
+                "rising": a["summary"]["queries_throughput_rising"],
+                "n": a["summary"]["n_queries"],
+                "median_tp_ratio": a["summary"]["median_throughput_ratio"],
+            }
+            for a in arts
+        ]
+    print(json.dumps(compact))
     spark.stop()
 
 
@@ -251,6 +282,7 @@ QUERY_PRIMARY_TABLE = {
     "fetch_times": "events",
     "pack_sequences": "documents",
     "ccnet_buckets": "documents",
+    "entropy_docs_bytes": "documents",
 }
 
 

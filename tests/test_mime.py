@@ -34,6 +34,13 @@ CASES = [
     (17, b"RIFF\x10\x00\x00\x00WAVEfmt ", "application/octet-stream"),
     (18, b"<p>para", "text/html"),
     (19, b"<pre>not in the tag table</pre>", "text/plain"),
+    # valid UTF-8 with a WHATWG binary byte PAST the old 512-byte probe
+    # but inside the spec's 1445-byte resource header → octet-stream
+    # (round-4 ADVICE item: the probe window now matches the spec)
+    (20, b"a" * 600 + b"\x00" + b"b" * 100, "application/octet-stream"),
+    # same byte past the 1445-byte resource header: the spec never sees
+    # it, but whole-payload UTF-8 validity still holds → text/plain
+    (21, b"a" * 1500 + b"\x07", "text/plain"),
 ]
 
 

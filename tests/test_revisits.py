@@ -56,6 +56,30 @@ def test_unresolvable_revisit_flagged(spark):
     assert rows["http://x/3"]["ref_uri"] is None
 
 
+def test_zero_length_original_still_resolves(spark):
+    """An empty-body original (HTTP 204-style capture) is a legitimate
+    resolution source: its revisit must come back resolved = true with
+    the empty payload attached (round-4 ADVICE item — length(payload)>0
+    used to exclude it while the oracle said resolved)."""
+    members = _members(spark, [
+        ("response", "sha1", "EMPTY", "http://e/1", "2015-01-01", b""),
+        ("revisit", "sha1", "EMPTY", "http://e/2", "2015-01-02", b""),
+    ])
+    rows = {r["uri"]: r for r in resolve_revisits(members).collect()}
+    assert rows["http://e/2"]["resolved"] is True
+    assert rows["http://e/2"]["ref_uri"] == "http://e/1"
+    assert bytes(rows["http://e/2"]["payload"]) == b""
+
+
+def test_null_payload_response_not_a_source(spark):
+    members = _members(spark, [
+        ("response", "sha1", "NP", "http://n/1", "2015-01-01", None),
+        ("revisit", "sha1", "NP", "http://n/2", "2015-01-02", b""),
+    ])
+    rows = {r["uri"]: r for r in resolve_revisits(members).collect()}
+    assert rows["http://n/2"]["resolved"] is False
+
+
 def test_pre_dedup_archive_first_capture_rule(spark):
     # two full responses share a digest: the (date, uri) minimum is the
     # original every revisit resolves to — the T57 first-capture rule

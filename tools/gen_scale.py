@@ -8,13 +8,21 @@ R identical copies:
   every cross-table join keeps exactly its original fan-out (replica r
   of orders joins replica r of customer) and per-key group sizes stay
   constant while key cardinality grows R×;
-* ``documents.text`` goes through a per-replica character rotation
-  (``translate`` over a 10-letter alphabet), so shingles/minhashes/
-  simhashes of different replicas are genuinely different — naive
-  duplication would put every document in an R-way near-dup cluster and
-  blow the LSH candidate-pair stage up quadratically, benchmarking a
-  different (and unrealistically adversarial) workload. ``translate``
-  is length-preserving, so ``n_chars`` stays consistent with ``text``;
+* ``documents.text`` goes through a per-replica letter cipher
+  (``translate`` with an affine permutation of the 26-letter lowercase
+  alphabet: position i → a·i + b mod 26, a coprime to 26), so
+  shingles/minhashes/simhashes of different replicas are genuinely
+  different — naive duplication would put every document in an R-way
+  near-dup cluster and blow the LSH candidate-pair stage up
+  quadratically, benchmarking a different (and unrealistically
+  adversarial) workload. 12 valid multipliers × 26 shifts = 312
+  distinct ciphers, so the invariant holds to ×312 (the round-4
+  10-letter rotation collapsed past ×10 — its ×100 attempt put ~10
+  byte-identical copies of every doc in the corpus and died in an
+  80 GB pair-stage spill; see BENCH/BASELINE.md forensics). Replica 0
+  is the identity (a=1, b=0), keeping the base corpus verbatim.
+  ``translate`` is length-preserving, so ``n_chars`` stays consistent
+  with ``text``;
 * embeddings are rotated by r positions — unit-norm-preserving, and
   rotations of a vector are far apart in cosine space, so ANN/near-dup
   candidate structure scales with the corpus instead of collapsing;
@@ -32,17 +40,28 @@ from __future__ import annotations
 
 import os
 
-_ALPHA = "aeiounrstl"  # 10 letters; rotation r is replica r's cipher
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+#: multipliers coprime to 26 — with the 26 shifts, 312 distinct affine
+#: permutations; replica r's cipher is unique for every factor ≤ 312
+_A_VALS = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+MAX_FACTOR = len(_A_VALS) * len(_ALPHA)
+
+
+def _cipher(r: int) -> str:
+    """The translate() target string for replica ``r``: an affine
+    permutation of _ALPHA (r=0 → identity, so replica 0 is the base
+    corpus verbatim)."""
+    a = _A_VALS[(r // len(_ALPHA)) % len(_A_VALS)]
+    b = r % len(_ALPHA)
+    n = len(_ALPHA)
+    return "".join(_ALPHA[(a * i + b) % n] for i in range(n))
+
 
 # per-table: (key columns that get *R+r, extra per-replica SQL overrides)
 _TABLES: dict[str, tuple[list[str], dict[str, str]]] = {
     "documents": (
         ["doc_id"],
-        {
-            "text": (
-                "translate(text, '{a}', substr('{a}{a}', (r.r % {n}) + 1, {n}))"
-            )
-        },
+        {"text": "translate(text, '{a}', c.tgt)"},
     ),
     "embeddings": (
         ["vec_id"],
@@ -69,11 +88,23 @@ def generate_scaled(src_dir: str, out_dir: str, factor: int) -> str:
     if the output already exists with the same factor (marker file)."""
     import duckdb
 
-    marker = os.path.join(out_dir, f"_SCALED_x{factor}")
+    if factor > MAX_FACTOR:
+        raise ValueError(
+            f"factor {factor} exceeds the {MAX_FACTOR} distinct replica "
+            "ciphers — replicas would collide into byte-identical copies "
+            "and the dedup candidate structure would degenerate"
+        )
+    # v2 marker: affine-cipher generator (v1 rotation dirs are stale data)
+    marker = os.path.join(out_dir, f"_SCALED_v2_x{factor}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE ciphers(r INTEGER, tgt VARCHAR)")
+    con.executemany(
+        "INSERT INTO ciphers VALUES (?, ?)",
+        [(r, _cipher(r)) for r in range(factor)],
+    )
     for table, (keys, overrides) in _TABLES.items():
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -98,8 +129,12 @@ def generate_scaled(src_dir: str, out_dir: str, factor: int) -> str:
                 )
             else:
                 exprs.append(c)
+        join = (
+            " LEFT JOIN ciphers c ON c.r = r.r" if table == "documents" else ""
+        )
         con.sql(
-            f"COPY (SELECT {', '.join(exprs)} FROM '{src}', range({factor}) r(r)) "
+            f"COPY (SELECT {', '.join(exprs)} "
+            f"FROM '{src}', range({factor}) r(r){join}) "
             f"TO '{dst}' (FORMAT PARQUET)"
         )
     con.close()

@@ -66,11 +66,26 @@ def _riff_webp(bin_col: Column) -> Column:
     )
 
 
-def sniff_mime(bin_col: Column, peek_bytes: int = 512) -> Column:
+#: WHATWG MIME-sniffing "resource header" size: the spec's probes (tag
+#: table, binary-data-byte scan) are defined over the first 1445 bytes
+WHATWG_RESOURCE_HEADER = 1445
+
+
+def sniff_mime(
+    bin_col: Column, peek_bytes: int = WHATWG_RESOURCE_HEADER
+) -> Column:
     """Sniffed MIME type of a payload: magic table → HTML tag table →
     ``<?xml`` → UTF-8-validity text/binary fallback. Null payloads
     sniff null; empty payloads fall through to text/plain (an empty
-    body is trivially valid UTF-8 — the WHATWG result for it)."""
+    body is trivially valid UTF-8 — the WHATWG result for it).
+
+    Window contract: the tag table and the binary-data-byte probe scan
+    the same ``peek_bytes`` window (default = WHATWG's 1445-byte
+    resource header, so a binary byte anywhere the spec would see one
+    flips the fallback to octet-stream); UTF-8 validity is checked over
+    the WHOLE payload — deliberately stricter than the spec, because
+    the text/plain verdict routes the full payload into the text
+    pipeline, not just its header."""
     peek = F.decode(F.substring(bin_col, 1, peek_bytes), "ISO-8859-1")
     # leading-whitespace skip, then UPPER for the case-insensitive table
     lead = F.upper(

@@ -64,8 +64,12 @@ def resolve_revisits(
     )
     m = members.withColumn("_k", key)
 
+    # payload IS NOT NULL, not length > 0: a genuinely zero-length
+    # original (empty body / 204-style capture) is still the payload a
+    # revisit refers to — excluding it would report resolved = false
+    # with the original present in the scanned set
     responses = m.filter(
-        (F.col(type_col) == "response") & (F.length(payload_col) > 0)
+        (F.col(type_col) == "response") & F.col(payload_col).isNotNull()
     )
     w = Window.partitionBy("_k").orderBy(
         F.col(date_col).asc(), F.col(uri_col).asc()
@@ -78,6 +82,9 @@ def resolve_revisits(
             F.col(payload_col).alias("_ref_payload"),
             F.col(uri_col).alias("_ref_uri"),
             F.col(date_col).alias("_ref_date"),
+            # explicit match flag: resolved must be true even when the
+            # matched original's payload is empty bytes
+            F.lit(True).alias("_matched"),
         )
     )
 
@@ -91,7 +98,7 @@ def resolve_revisits(
         )
         .select(
             *out_cols,
-            F.col("_ref_payload").isNotNull().alias("resolved"),
+            F.coalesce(F.col("_matched"), F.lit(False)).alias("resolved"),
             F.col("_ref_uri").alias("ref_uri"),
             F.col("_ref_date").alias("ref_date"),
         )

@@ -30,6 +30,24 @@ ARROW_MAX_RECORDS_PER_BATCH = 65536
 ARROW_MAX_BYTES_PER_BATCH = str(32 * 1024 * 1024)
 
 
+#: legacy ``pid-<pid>`` dirs (no starttime token) older than this are
+#: reaped even if some process holds the pid — the age fallback for
+#: pid reuse where ownership can't be proven either way
+_STALE_DIR_MAX_AGE_SEC = 6 * 3600
+
+
+def _proc_starttime(pid: int) -> int | None:
+    """Kernel starttime (clock ticks since boot) of ``pid``, or None if
+    the process doesn't exist / can't be read. Parsed after the last ')'
+    so a comm containing spaces or parens can't shift the fields."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _local_dir() -> str:
     """Per-process spark.local.dir under a shared base, with stale-dir
     reaping.
@@ -41,30 +59,52 @@ def _local_dir() -> str:
     leaves its shuffle spill RESIDENT IN RAM forever. One crashed
     big-shuffle run then starves every later run on the box (observed:
     84 GB of orphaned spill → host OOM-killer cascade). Keying the dir
-    by pid and reaping dirs whose owning process is gone makes each new
-    session clean up after any crashed predecessor."""
+    by (pid, process starttime) and reaping dirs whose owner is gone
+    makes each new session clean up after any crashed predecessor —
+    and the starttime token makes reaping robust to PID REUSE: a
+    recycled pid belongs to a process with a different starttime, so
+    the orphan is still reclaimed (``os.kill(pid, 0)`` alone would skip
+    it forever). Legacy ``pid-<pid>`` dirs fall back to liveness + age."""
+    import time
+
     base = os.environ.get("WARCSUM_LOCAL_DIR", "/dev/shm/warcsum_spark_local")
     try:
         for name in os.listdir(base):
             if not name.startswith("pid-"):
                 continue
+            parts = name[4:].split("-")
             try:
-                pid = int(name[4:])
+                pid = int(parts[0])
+                st = int(parts[1]) if len(parts) > 1 else None
             except ValueError:
                 continue
             if pid == os.getpid():
                 continue
-            try:
-                os.kill(pid, 0)  # raises if no such process
-            except ProcessLookupError:
+            path = os.path.join(base, name)
+            live_st = _proc_starttime(pid)
+            if st is not None:
+                stale = live_st != st  # gone, unreadable, or pid recycled
+            elif live_st is None:
+                stale = True  # legacy dir, owner gone
+            else:
+                # legacy dir, SOME process holds the pid — original owner
+                # or a recycled pid; reap only past the age bound
+                try:
+                    stale = (
+                        time.time() - os.stat(path).st_mtime
+                        > _STALE_DIR_MAX_AGE_SEC
+                    )
+                except OSError:
+                    stale = False
+            if stale:
                 import shutil
 
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-            except PermissionError:
-                pass  # someone else's live process
+                shutil.rmtree(path, ignore_errors=True)
     except FileNotFoundError:
         pass
-    return os.path.join(base, f"pid-{os.getpid()}")
+    my_st = _proc_starttime(os.getpid())
+    suffix = f"-{my_st}" if my_st is not None else ""
+    return os.path.join(base, f"pid-{os.getpid()}{suffix}")
 
 
 def get_spark(
