@@ -354,6 +354,7 @@ def run_scale_suite(base_dir: str, cpus: str) -> None:
     summary = {
         "factor": factor,
         "cpus": int(cpus),
+        "reps": int(os.environ.get("WARCSUM_SUITE_REPS", "2")),
         "total_sec_base": total_b,
         "total_sec_scaled": total_s,
         "time_ratio": round(total_s / total_b, 2),
@@ -378,7 +379,13 @@ def run_scale_suite(base_dir: str, cpus: str) -> None:
             prev = json.load(f)
     # merge-min on seconds across runs (same noise-robust estimator as
     # the scaling protocol), then recompute derived fields
-    if prev and prev.get("factor") == factor:
+    # merge-min is only coherent across runs at the SAME core count —
+    # a local[16] second and a local[32] second are different units
+    if (
+        prev
+        and prev.get("factor") == factor
+        and prev.get("summary", {}).get("cpus", 32) == int(cpus)
+    ):
         for name, q in per_query.items():
             p = prev.get("per_query", {}).get(name)
             if not p:
@@ -437,9 +444,11 @@ def _write_scale_suite_md(repo) -> None:
     arts = _load_scale_artifacts(repo)
     lines = [
         start,
-        "## Suite throughput vs data scale (local[32])",
+        "## Suite throughput vs data scale",
         "",
-        f"Same {len(HEADLINE)} queries, same session/config, sf0.1 input "
+        f"Same {len(HEADLINE)} queries, sf0.1 input measured in the same "
+        "session/config as its scaled tier (per-tier config in each "
+        "header) "
         "vs deterministic amplifications (tools/gen_scale.py: keys "
         "re-keyed consistently so join fan-outs are preserved, texts "
         "per-replica cipher-rotated so dedup/LSH candidate structure "
@@ -451,9 +460,12 @@ def _write_scale_suite_md(repo) -> None:
     ]
     for art in arts:
         factor, summary, per_query = art["factor"], art["summary"], art["per_query"]
+        cores = summary.get("cpus", 32)
+        reps = summary.get("reps")
+        cfg = f"local[{cores}]" + (f", {reps} rep(s)" if reps else "")
         lines += [
             "",
-            f"### ×{factor}",
+            f"### ×{factor} ({cfg})",
             "",
             f"| query | table | sec @sf0.1 | sec @×{factor} | rows/s @sf0.1 | "
             f"rows/s @×{factor} | throughput ratio |",
