@@ -203,20 +203,25 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(times),
+        "queries": times,
         "loadavg_1min": payload["loadavg_1min"],
         "queries_full": "BENCH/headline_full.json",
     }
     if arts:
-        compact["scale_curve"] = [
-            {
-                "factor": a["summary"]["factor"],
-                "time_ratio": a["summary"]["time_ratio"],
-                "rising": a["summary"]["queries_throughput_rising"],
-                "n": a["summary"]["n_queries"],
-                "median_tp_ratio": a["summary"]["median_throughput_ratio"],
-            }
+        # terse curve — "factor:time_ratio:median_throughput_ratio" per
+        # tier; the structured form lives in headline_full.json and
+        # BENCH/suite_scale_x*.json
+        compact["scale_curve"] = ";".join(
+            "x{factor}:t{time_ratio}:tp{median_throughput_ratio}".format(
+                **a["summary"]
+            )
             for a in arts
-        ]
+        )
+    if len(json.dumps(compact)) > 1900:
+        # never let the last line outgrow the driver's 2000-char stdout
+        # tail — per-query timings are the first thing to shed (they
+        # persist in headline_full.json either way)
+        compact.pop("queries")
     print(json.dumps(compact))
     spark.stop()
 

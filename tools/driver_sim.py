@@ -10,10 +10,13 @@ array<bigint> column and the driver's pandas lexsort died with
 This tool replays that exact path so a canonicalizer-level regression is
 caught BEFORE the driver runs:
 
-    python tools/driver_sim.py [sf_dir]       # default /root/testdata/sf0.01
+    python tools/driver_sim.py [sf_dir] [--all]   # default /root/testdata/sf0.01
 
-Prints one line per query and a final `SIM_FAILURES: n [...]`; exit code
-equals the failure count. Round-5 baseline: 50/50 clean.
+`--all` sweeps every queries() entry instead of the driver's first-50
+window (insurance for entries 51+, which only the tuple-compare gate
+otherwise sees). Prints one line per query and a final
+`SIM_FAILURES: n [...]`; exit code equals the failure count. Round-5
+baseline: 50/50 clean (94/94 with --all).
 """
 
 from __future__ import annotations
@@ -58,7 +61,9 @@ def canon(df: pd.DataFrame) -> list:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    window = None if "--all" in sys.argv[1:] else 50
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(cores=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -68,7 +73,7 @@ def main() -> int:
     qs = em.queries()
     osql = em.oracle_sql() if sf.endswith("sf0.01") else em.oracle_sql_for(sf)
     fails = []
-    for name in list(qs)[:50]:
+    for name in list(qs)[:window]:
         try:
             cs = canon(qs[name](spark, sf).toPandas())
             cd = canon(con.sql(osql[name]).df())
