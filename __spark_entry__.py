@@ -4561,6 +4561,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_doc_dedup_extended(spark, SF0001)
 
 
+def q_rep_optout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T80 (functions/reptags.py): REP page-level opt-out gating. The
+    synthetic documents carry no markup, so the prep wraps each in a
+    deterministic HTML shell whose doc_id residues inject the directive
+    surface the parser must handle: name-first and content-first meta
+    attribute order, unquoted/uppercase attribute values, the ``none``
+    shorthand, and X-Robots-Tag headers that are unscoped, scoped to a
+    FOREIGN agent (must be ignored), and scoped to ours."""
+    from warcsum_spark.functions.reptags import gate_optouts
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8">'),
+        F.when(
+            d % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.lit('<meta content="noai" name=ROBOTS >')
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0, F.lit("<META NAME='robots' CONTENT='none'>")
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.substring("text", 1, 40),
+        F.lit("</body></html>"),
+    )
+    hdr = (
+        F.when(d % 13 == 0, F.lit("noarchive, nosnippet"))
+        .when(d % 17 == 0, F.lit("otherbot: noindex"))
+        .when(d % 19 == 0, F.lit("warcsum: noai"))
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html"), hdr.alias("x_robots_tag")
+    )
+    return gate_optouts(pages, agent="warcsum")
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T81 (operators/line_dedup.py): in-document duplicate-line
+    removal. Prep gives the single-line synthetic docs web-page line
+    structure (newline every 8 words) and deterministic self-repetition:
+    a SHARE THIS line at both ends (the second must drop) and, for
+    doc_id % 3 == 0, the whole wrapped body repeated (every line of the
+    second copy must drop)."""
+    from warcsum_spark.operators.line_dedup import dedup_lines
+
+    wrapped = F.regexp_replace("text", r"((?:\S+ ){8})", "$1\n")
+    text = F.concat(
+        F.lit("SHARE THIS\n"),
+        wrapped,
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), wrapped)
+        ).otherwise(F.lit("")),
+        F.lit("\nSHARE THIS"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.alias("text")
+    )
+    return dedup_lines(docs, carry_cols=("source",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4672,7 +4734,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "snapshot_diff_docs": q_snapshot_diff_docs,
+        # round-5 additions (after the window: local gate + pytest carry
+        # their evidence; the window stays reserved for the 43 backfills)
+        "rep_optout_gate": q_rep_optout_gate,
+        "line_dedup_docs": q_line_dedup_docs,
     }
+
+
+def _oracle_rep_optout() -> str:
+    """Rebuilds the HTML/header prep and re-parses it with the SAME
+    RE2-safe regexes the engine compiles (imported, not re-typed), so
+    the two engines can only agree by implementing the same REP
+    directive semantics."""
+    from warcsum_spark.functions.reptags import _meta_patterns
+
+    p_nf, p_cf = _meta_patterns("warcsum")
+    p_nf, p_cf = p_nf.replace("'", "''"), p_cf.replace("'", "''")
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><meta charset="utf-8">'
+    || CASE WHEN doc_id % 7 = 0
+            THEN '<meta name="robots" content="noindex, nofollow">'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN '<meta content="noai" name=ROBOTS >' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN '<META NAME=''robots'' CONTENT=''none''>' ELSE '' END
+    || '</head><body>' || substr(text, 1, 40) || '</body></html>' AS html,
+    CASE WHEN doc_id % 13 = 0 THEN 'noarchive, nosnippet'
+         WHEN doc_id % 17 = 0 THEN 'otherbot: noindex'
+         WHEN doc_id % 19 = 0 THEN 'warcsum: noai' END AS hdr
+  FROM documents
+), scoped AS (
+  SELECT doc_id, html, trim(coalesce(hdr, '')) AS h,
+    lower(trim(regexp_extract(trim(coalesce(hdr, '')), '^([^:,]+):', 1)))
+      AS pfx
+  FROM pages
+), toks AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        flatten([
+          flatten(list_transform(regexp_extract_all(html, '{p_nf}', 1),
+                                 s -> string_split(s, ','))),
+          flatten(list_transform(regexp_extract_all(html, '{p_cf}', 1),
+                                 s -> string_split(s, ','))),
+          string_split(
+            CASE WHEN pfx = '' THEN h
+                 WHEN pfx = 'warcsum'
+                   THEN regexp_replace(h, '^[^:,]+:', '')
+                 ELSE '' END, ',')
+        ]),
+        t -> lower(trim(t))),
+      t -> t <> '') AS t
+  FROM scoped
+)
+SELECT doc_id,
+  (list_contains(t, 'noindex') OR list_contains(t, 'none')) AS noindex,
+  (list_contains(t, 'nofollow') OR list_contains(t, 'none')) AS nofollow,
+  list_contains(t, 'noarchive') AS noarchive,
+  list_contains(t, 'nosnippet') AS nosnippet,
+  list_contains(t, 'noai') AS noai,
+  list_contains(t, 'noimageai') AS noimageai,
+  NOT (list_contains(t, 'noindex') OR list_contains(t, 'none')
+       OR list_contains(t, 'noai')) AS train_eligible,
+  NOT (list_contains(t, 'nofollow') OR list_contains(t, 'none'))
+    AS follow_links
+FROM toks
+"""
+
+
+def _oracle_line_dedup() -> str:
+    from warcsum_spark.functions.repetition import _NONBLANK_RE
+
+    return f"""
+WITH prep AS (
+  SELECT doc_id, source,
+    'SHARE THIS' || chr(10) || w
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || w ELSE '' END
+    || chr(10) || 'SHARE THIS' AS text
+  FROM (SELECT doc_id, source,
+               regexp_replace(text, '((?:\\S+ ){{8}})',
+                              '\\1' || chr(10), 'g') AS w
+        FROM documents)
+), u AS (
+  SELECT doc_id, source, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS ord
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS lines
+        FROM prep)
+), k AS (
+  SELECT doc_id, source, line, ord,
+    (NOT regexp_matches(line, '{_NONBLANK_RE}')
+     OR ord = min(ord) OVER (PARTITION BY doc_id, line)) AS keep
+  FROM u
+)
+SELECT doc_id, source,
+  count(*)::BIGINT AS n_lines,
+  (count(*) - count(*) FILTER (WHERE keep))::BIGINT AS n_dropped,
+  coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE keep),
+           '') AS clean_text
+FROM k GROUP BY doc_id, source
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4774,6 +4937,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_split": _oracle_cluster_split(),
         "ccnet_buckets": ORACLE_CCNET_BUCKETS,
         "trustrank_links": _oracle_trustrank(),
+        "rep_optout_gate": _oracle_rep_optout(),
+        "line_dedup_docs": _oracle_line_dedup(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -92,6 +92,8 @@ HEADLINE = [
     "ccnet_buckets",
     # round 5 additions — appended for the same delta-comparability reason
     "entropy_docs_bytes",
+    "rep_optout_gate",
+    "line_dedup_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -288,6 +290,8 @@ QUERY_PRIMARY_TABLE = {
     "pack_sequences": "documents",
     "ccnet_buckets": "documents",
     "entropy_docs_bytes": "documents",
+    "rep_optout_gate": "documents",
+    "line_dedup_docs": "documents",
 }
 
 
