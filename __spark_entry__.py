@@ -4623,6 +4623,48 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(docs, carry_cols=("source",))
 
 
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T82 (functions/c4.py): C4-style line-level cleaning + page
+    flags. Prep gives the single-line synthetic docs line structure
+    (newline every 8 words, each such line closed with a terminal '.')
+    and injects deterministic violations: a 2-word line (fails the
+    3-word rule), a javascript line (fails the javascript rule despite
+    terminal punct), and doc_id-residue pages carrying lorem ipsum, a
+    curly brace, and a blocklisted word."""
+    from warcsum_spark.functions.c4 import c4_clean
+
+    d = F.col("doc_id")
+    wrapped = F.regexp_replace("text", r"((?:\S+ ){8})", "$1.\n")
+    text = F.concat(
+        wrapped,
+        F.lit("\nToo short\nClick here for javascript menu."),
+        F.when(
+            d % 9 == 0, F.lit("\nLorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit("\nif (x) { return 1; }")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 23 == 0, F.lit("\nthis page mentions obscenityone today.")
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.alias("text")
+    )
+    return c4_clean(docs, carry_cols=("lang",))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T83 (operators/collocations.py): top-100 adjacent word pairs by
+    PMI with support >= 5 over the documents table; the DuckDB oracle
+    recomputes pair/unigram/total counts from the same tokenization and
+    the identically-associated PMI arithmetic."""
+    from warcsum_spark.operators.collocations import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(docs, k=100, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4738,6 +4780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their evidence; the window stays reserved for the 43 backfills)
         "rep_optout_gate": q_rep_optout_gate,
         "line_dedup_docs": q_line_dedup_docs,
+        "c4_clean_docs": q_c4_clean_docs,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4836,6 +4880,125 @@ SELECT doc_id, source,
            '') AS clean_text
 FROM k GROUP BY doc_id, source
 """
+
+
+def _oracle_c4_clean() -> str:
+    """Rebuilds the wrap/injection prep and re-evaluates C4's line and
+    page rules with the SAME RE2-safe patterns the engine compiles
+    (imported, not re-typed) and the same replace-length sentence
+    arithmetic."""
+    from warcsum_spark.functions.c4 import (
+        TERMINAL_RE,
+        THREE_WORDS_RE,
+        TRAIL_WS_RE,
+    )
+    from warcsum_spark.functions.quality import WS_CLASS
+
+    def cnt(col: str, marker: str) -> str:
+        m = marker.replace("'", "''")
+        return (
+            f"CAST((length({col}) - length(replace({col}, '{m}', '')))"
+            f" / {len(marker)} AS INT)"
+        )
+
+    return f"""
+WITH prep AS (
+  SELECT doc_id, lang,
+    w || chr(10) || 'Too short' || chr(10)
+      || 'Click here for javascript menu.'
+      || CASE WHEN doc_id % 9 = 0
+              THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+      || CASE WHEN doc_id % 8 = 0
+              THEN chr(10) || 'if (x) {{ return 1; }}' ELSE '' END
+      || CASE WHEN doc_id % 23 = 0
+              THEN chr(10) || 'this page mentions obscenityone today.'
+              ELSE '' END AS text
+  FROM (SELECT doc_id, lang,
+               regexp_replace(text, '((?:\\S+ ){{8}})',
+                              '\\1.' || chr(10), 'g') AS w
+        FROM documents)
+), l AS (
+  SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines
+  FROM prep
+), k AS (
+  SELECT doc_id, lang, text, lines,
+    list_filter(lines,
+      x -> regexp_matches(regexp_replace(x, '{TRAIL_WS_RE}', ''),
+                          '{TERMINAL_RE}')
+           AND regexp_matches(regexp_replace(x, '{TRAIL_WS_RE}', ''),
+                              '{THREE_WORDS_RE}')
+           AND NOT contains(
+                 lower(regexp_replace(x, '{TRAIL_WS_RE}', '')),
+                 'javascript')) AS kept
+  FROM l
+), c AS (
+  SELECT doc_id, lang,
+    len(lines)::BIGINT AS n_lines,
+    len(kept)::BIGINT AS n_kept,
+    array_to_string(kept, chr(10)) AS clean_text,
+    ' ' || regexp_replace(regexp_replace(lower(text), '{WS_CLASS}+',
+                                         ' ', 'g'),
+                          '^ | $', '', 'g') || ' ' AS pad, text
+  FROM k
+), f AS (
+  SELECT doc_id, lang, n_lines, n_kept, clean_text,
+    ({cnt('clean_text', '.')} + {cnt('clean_text', '!')}
+     + {cnt('clean_text', '?')})::BIGINT AS n_sentences,
+    contains(pad, 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{{') AS has_brace,
+    (CASE WHEN {cnt('pad', ' obscenityone ')} > 0 THEN 1 ELSE 0 END
+     + CASE WHEN {cnt('pad', ' obscenitytwo ')} > 0 THEN 1 ELSE 0 END
+    )::INT AS blockword_hits
+  FROM c
+)
+SELECT *, (n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace
+           AND blockword_hits = 0) AS keep_page
+FROM f
+"""
+
+
+def _oracle_pmi() -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+
+    return f"""
+WITH staged AS (
+  SELECT regexp_replace(regexp_replace(lower(text),
+           '{WS_CLASS}+', ' ', 'g'), '^ | $', '', 'g') AS norm
+  FROM documents
+), wsrc AS (
+  SELECT string_split(norm, ' ') AS words FROM staged WHERE norm <> ''
+), ex AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM (SELECT words, unnest(generate_series(1, len(words))) AS i
+        FROM wsrc)
+), pc AS (
+  SELECT w1, w2, count(*) AS c FROM ex GROUP BY ALL
+), uni AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c_x FROM pc GROUP BY w1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(sum(c) FILTER (WHERE w2 IS NOT NULL) AS BIGINT) AS n_bi
+  FROM pc
+), s AS (
+  SELECT pc.w1, pc.w2, pc.c::BIGINT AS c_xy, u1.c_x AS c_x,
+         u2.c_x AS c_y,
+         ln(((CAST(pc.c AS DOUBLE) * n_tok) * n_tok)
+            / ((CAST(n_bi AS DOUBLE) * u1.c_x) * u2.c_x)) AS pmi
+  FROM pc
+  JOIN uni u1 ON pc.w1 = u1.w1
+  JOIN uni u2 ON pc.w2 = u2.w1
+  CROSS JOIN tot
+  WHERE pc.w2 IS NOT NULL AND pc.c >= 5
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM s
+)
+SELECT CAST(rank AS INT) AS rank, w1, w2, c_xy, c_x, c_y,
+       round(pmi, 6) AS pmi
+FROM r WHERE rank <= 100
+"""
+
+
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4939,6 +5102,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank_links": _oracle_trustrank(),
         "rep_optout_gate": _oracle_rep_optout(),
         "line_dedup_docs": _oracle_line_dedup(),
+        "c4_clean_docs": _oracle_c4_clean(),
+        "pmi_collocations": _oracle_pmi(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

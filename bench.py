@@ -94,6 +94,8 @@ HEADLINE = [
     "entropy_docs_bytes",
     "rep_optout_gate",
     "line_dedup_docs",
+    "c4_clean_docs",
+    "pmi_collocations",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -292,6 +294,8 @@ QUERY_PRIMARY_TABLE = {
     "entropy_docs_bytes": "documents",
     "rep_optout_gate": "documents",
     "line_dedup_docs": "documents",
+    "c4_clean_docs": "documents",
+    "pmi_collocations": "documents",
 }
 
 
