@@ -1852,13 +1852,25 @@ def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(copies).unionByName(perturbed)
-    C = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    # SemDedup §2 scales k with N (the quadratic lives INSIDE clusters, so
+    # cluster size must stay bounded as the corpus grows): k = N/256,
+    # floored at 8 — identical to the fixed k=8 at every gate scale
+    # (sf0.001–sf0.1 all have <= 2048 vectors), growing only in the
+    # scaled-suite tiers. The count is parquet-metadata-only.
+    k = _semdedup_k(emb.count())
+    C = train_ivf_centroids(emb, n_centroids=k, seed=42)
     return semdedup(corpus, C, threshold=0.95)
+
+
+def _semdedup_k(n_rows: int) -> int:
+    """Centroid-count rule shared by the Spark query and the DuckDB
+    oracle: max(8, min(1024, N // 256)) over the BASE embeddings table."""
+    return max(8, min(1024, n_rows // 256))
 
 
 def _oracle_semdedup(
     sf_dir: str = "/root/testdata/sf0.01",
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     threshold: float = 0.95,
 ) -> str | None:
     """DuckDB replica of q_semdedup_docs: identical centroids regenerated
@@ -1874,6 +1886,11 @@ def _oracle_semdedup(
     pq = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(pq):
         return None
+    if n_centroids is None:
+        n_rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{pq}')"
+        ).fetchone()[0]
+        n_centroids = _semdedup_k(n_rows)
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{pq}') ORDER BY vec_id LIMIT 4096"
     ).fetchall()
