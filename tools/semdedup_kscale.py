@@ -1,17 +1,20 @@
-"""One-off evidence run for the ×300 scale tier: SemDedup with k scaled
-to the corpus (the paper's configuration) vs the benchmark's pinned k=8.
+"""Paired-run evidence for SemDedup's k∝N scaling on a scaled tier.
 
-The headline suite runs q_semdedup_docs verbatim at every tier, which
-pins n_centroids=8 so the DuckDB oracle can regenerate identical
-centroids at sf0.01. That is the right choice for the correctness gate
-but the wrong configuration at ×300 data: SemDedup's intra-cluster
-pairwise work is O(N²/k), so holding k constant while N grows 300×
-makes per-row cost grow ~linearly — the one falling throughput ratio in
-the ×300 table. The production configuration (Abbas et al. 2023, §3:
-cluster count grows with corpus size) keeps N/k — and so per-row cost —
-constant. This script measures that configuration on the same ×300
-input and the same local[16] session used by the tier, so the two
-numbers in BENCH/BASELINE.md are directly comparable.
+SemDedup's intra-cluster pairwise work is O(N²/k); holding k constant
+while N grows makes per-row cost grow ~linearly, while the paper's
+production configuration (Abbas et al. 2023, §3: cluster count grows
+with corpus size, N/k constant) keeps it flat. This script measures an
+explicit k against the same scaled input and session config as the
+suite tier, so its number is directly comparable to the tier table.
+
+History: the bench query originally pinned n_centroids=8 at every tier
+(the ×300 table's one falling ratio); this script's paired run — 423.0 s
+pinned vs 150.8 s at k=2400 on the ×300 input — was the evidence that
+led to folding the k∝N rule into q_semdedup_docs itself
+(`__spark_entry__._semdedup_k`: max(8, min(1024, N//256)), identical to
+k=8 at every correctness-gate scale so the DuckDB oracle still
+regenerates bit-identical centroids at sf0.01). It remains useful for
+measuring non-default k choices on any tier.
 
 Usage: python tools/semdedup_kscale.py [scaled_dir] [k]
 Prints one JSON line; does not touch the suite artifacts.
