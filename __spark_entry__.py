@@ -4682,6 +4682,42 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, k=100, min_count=5)
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T84 (operators/psample.py): deterministic fixed-quota weighted
+    sample — top-40-by-priority documents per language, weight =
+    1 + n_chars, with the Duffield-Lund-Thorup unbiased est_weight.
+    Priorities are bit-identical cross-engine (md5-derived exact
+    uniform, one IEEE division); the DuckDB oracle replays the same
+    math via the generated hex-digit expression. Output doubles are
+    rounded to 6 decimals in both engines AFTER selection."""
+    from warcsum_spark.operators.psample import priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.lit(1) + F.col("n_chars")).alias("w")
+    )
+    out = priority_sample(
+        docs, k=40, weight_col="w", stratum_col="lang", id_col="doc_id", seed=42
+    )
+    return out.select(
+        "stratum",
+        "id",
+        "weight",
+        F.round("priority", 6).alias("priority"),
+        F.round("est_weight", 6).alias("est_weight"),
+    )
+
+
+def _oracle_priority_sample() -> str:
+    from warcsum_spark.operators.psample import priority_sample_sql
+
+    return priority_sample_sql(
+        "src AS (SELECT lang AS stratum, doc_id AS id, "
+        "CAST(1 + n_chars AS DOUBLE) AS weight FROM documents)",
+        k=40,
+        seed=42,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4799,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "c4_clean_docs": q_c4_clean_docs,
         "pmi_collocations": q_pmi_collocations,
+        "priority_sample_docs": q_priority_sample,
     }
 
 
@@ -5121,6 +5158,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _oracle_line_dedup(),
         "c4_clean_docs": _oracle_c4_clean(),
         "pmi_collocations": _oracle_pmi(),
+        "priority_sample_docs": _oracle_priority_sample(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
