@@ -4718,6 +4718,46 @@ def _oracle_priority_sample() -> str:
     )
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T85 (operators/kcore.py): 4-core of a deterministic three-layer
+    graph — a 101-node chain (degree <= 2: peels round 1), ten bridge
+    nodes tying the chain to a 15-node clique (degree 4-5: survive
+    round 1, starve once the chain is gone, peel round 2), and the
+    clique itself (degree 14: the fixpoint). Exercises a genuine
+    multi-round cascade, not a single degree cut; the DuckDB twin
+    unrolls 24 peel rounds (>= the depth-3 cascade; idempotent past
+    stability)."""
+    from warcsum_spark.operators.kcore import k_core
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    chain = ev.select((e % 100).alias("src"), (e % 100 + 1).alias("dst"))
+    clique = ev.select(
+        (F.lit(200) + e % 15).alias("src"),
+        (F.lit(200) + (e / 15).cast("long") % 15).alias("dst"),
+    )
+    bridges = ev.filter(e % 10 == 0).select(
+        (e % 100).alias("src"), (F.lit(200) + e % 15).alias("dst")
+    )
+    return k_core(chain.unionByName(clique).unionByName(bridges), k=4)
+
+
+def _oracle_k_core() -> str:
+    from warcsum_spark.operators.kcore import k_core_sql
+
+    return k_core_sql(
+        "src AS ("
+        "SELECT event_id % 100 AS src, event_id % 100 + 1 AS dst FROM events "
+        "UNION ALL "
+        "SELECT 200 + event_id % 15, 200 + (event_id // 15) % 15 FROM events "
+        "UNION ALL "
+        "SELECT event_id % 100, 200 + event_id % 15 FROM events "
+        "WHERE event_id % 10 = 0)",
+        k=4,
+        rounds=24,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4836,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": q_c4_clean_docs,
         "pmi_collocations": q_pmi_collocations,
         "priority_sample_docs": q_priority_sample,
+        "k_core_links": q_k_core,
     }
 
 
@@ -5159,6 +5200,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_docs": _oracle_c4_clean(),
         "pmi_collocations": _oracle_pmi(),
         "priority_sample_docs": _oracle_priority_sample(),
+        "k_core_links": _oracle_k_core(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
