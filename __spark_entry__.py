@@ -4758,6 +4758,52 @@ def _oracle_k_core() -> str:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T86 (operators/hyperball.py): harmonic centrality of a
+    deterministic link graph — a 61-node chain with skip links, a
+    fan-in hub (500) and its fan-out leaves — computed on the REVERSED
+    graph (centrality counts nodes that can reach you; Boldi & Vigna
+    run HyperBall on the transpose for the same reason). Exact tier
+    (the oracle/validation path): all-balls BFS truncated at 8 hops,
+    harmonic emitted as an exact BIGINT numerator over lcm(1..8)=840
+    and ONE IEEE division — bit-identical cross-engine. The HyperBall
+    HLL tier is the 100 TB path, pytest-gated against this tier."""
+    from warcsum_spark.operators.hyperball import harmonic_exact
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    chain = ev.select((e % 60).alias("src"), (e % 60 + 1).alias("dst"))
+    skips = ev.filter(e % 5 == 0).select(
+        (e % 60).alias("src"), (e % 60 + 7).alias("dst")
+    )
+    fan_in = ev.select((e % 37).alias("src"), F.lit(500).alias("dst"))
+    fan_out = ev.select(
+        F.lit(500).alias("src"), (F.lit(600) + e % 9).alias("dst")
+    )
+    links = (
+        chain.unionByName(skips).unionByName(fan_in).unionByName(fan_out)
+    )
+    reversed_links = links.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return harmonic_exact(reversed_links, max_t=8)
+
+
+def _oracle_harmonic() -> str:
+    from warcsum_spark.operators.hyperball import harmonic_sql
+
+    return harmonic_sql(
+        "src AS ("
+        "SELECT dst AS src, src AS dst FROM ("
+        "SELECT event_id % 60 AS src, event_id % 60 + 1 AS dst FROM events "
+        "UNION ALL SELECT event_id % 60, event_id % 60 + 7 FROM events "
+        "WHERE event_id % 5 = 0 "
+        "UNION ALL SELECT event_id % 37, 500 FROM events "
+        "UNION ALL SELECT 500, 600 + event_id % 9 FROM events))",
+        max_t=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4877,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "priority_sample_docs": q_priority_sample,
         "k_core_links": q_k_core,
+        "harmonic_centrality": q_harmonic_centrality,
     }
 
 
@@ -5201,6 +5248,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _oracle_pmi(),
         "priority_sample_docs": _oracle_priority_sample(),
         "k_core_links": _oracle_k_core(),
+        "harmonic_centrality": _oracle_harmonic(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -96,6 +96,9 @@ HEADLINE = [
     "line_dedup_docs",
     "c4_clean_docs",
     "pmi_collocations",
+    "priority_sample_docs",
+    "k_core_links",
+    "harmonic_centrality",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -296,6 +299,9 @@ QUERY_PRIMARY_TABLE = {
     "line_dedup_docs": "documents",
     "c4_clean_docs": "documents",
     "pmi_collocations": "documents",
+    "priority_sample_docs": "documents",
+    "k_core_links": "events",
+    "harmonic_centrality": "events",
 }
 
 
