@@ -4804,6 +4804,40 @@ def _oracle_harmonic() -> str:
     )
 
 
+# T87: a fixed trained merge table over the synthetic corpus vocabulary —
+# well-formed by construction (every side is a single symbol or the output
+# of an earlier merge), the invariant that makes the lowest-rank-first
+# encoder equal to rank-order replay (operators/bpe.py::encode_corpus)
+_BPE_ENC_MERGES = [
+    ("r", "o"), ("ro", "w</w>"), ("h", "a"), ("s", "h</w>"),
+    ("ha", "sh</w>"), ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"),
+    ("i", "n</w>"), ("o", "in</w>"), ("j", "oin</w>"), ("t", "a"),
+    ("ta", "b"), ("l", "e</w>"), ("tab", "le</w>"), ("e", "r"),
+]
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T87 (operators/bpe.py::encode_corpus): tokenize the documents
+    table with a fixed trained BPE merge table — per doc word count,
+    token count, and distinct-subword count. Distinct word types are
+    encoded once by the Arrow kernel (Heaps'-law small) and hash-joined
+    back to the word stream; the DuckDB twin replays the same merges in
+    rank order via generated greedy-pass SQL (bpe_encode_sql)."""
+    from warcsum_spark.operators.bpe import encode_corpus
+
+    return encode_corpus(
+        _t(spark, sf_dir, "documents"), _BPE_ENC_MERGES
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    from warcsum_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql(
+        "src AS (SELECT doc_id, text FROM documents)", _BPE_ENC_MERGES
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4924,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_docs": q_priority_sample,
         "k_core_links": q_k_core,
         "harmonic_centrality": q_harmonic_centrality,
+        "bpe_encode_docs": q_bpe_encode_docs,
     }
 
 
@@ -5249,6 +5284,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_docs": _oracle_priority_sample(),
         "k_core_links": _oracle_k_core(),
         "harmonic_centrality": _oracle_harmonic(),
+        "bpe_encode_docs": _oracle_bpe_encode(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -99,6 +99,7 @@ HEADLINE = [
     "priority_sample_docs",
     "k_core_links",
     "harmonic_centrality",
+    "bpe_encode_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -302,6 +303,7 @@ QUERY_PRIMARY_TABLE = {
     "priority_sample_docs": "documents",
     "k_core_links": "events",
     "harmonic_centrality": "events",
+    "bpe_encode_docs": "documents",
 }
 
 

@@ -106,3 +106,125 @@ def test_learning_loop_is_all_jvm(spark):
     assert "Python" not in plan
     merged = types.withColumn("syms", _merge_fold(F.col("syms"), "a", "b"))
     assert "Python" not in merged._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- T87: corpus encode (encode_corpus + generated DuckDB twin) ----
+
+_ENC_MERGES = [
+    ("r", "o"), ("ro", "w</w>"), ("h", "a"), ("s", "h</w>"),
+    ("ha", "sh</w>"), ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"),
+    ("i", "n</w>"), ("o", "in</w>"), ("j", "oin</w>"), ("t", "a"),
+    ("ta", "b"), ("l", "e</w>"), ("tab", "le</w>"), ("e", "r"),
+]
+
+
+def _py_encode(word, merges):
+    from warcsum_spark.operators.bpe import END
+
+    syms = [*word[:-1], word[-1] + END] if word else []
+    ranks = {p: i for i, p in enumerate(merges)}
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        l, r_ = merges[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                out.append(l + r_)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+_ENC_DOCS = [
+    (1, "row hash scan join table order a"),
+    (2, "hash hash table scanner"),
+    (3, "   "),  # no words: zero counts, row still present
+    (4, "Rorow TAB le er aan"),  # lowercase contract
+]
+
+
+def _enc_expected():
+    out = {}
+    for i, t in _ENC_DOCS:
+        ws = [w for w in t.lower().strip().split() if w]
+        toks = [s for w in ws for s in _py_encode(w, _ENC_MERGES)]
+        out[i] = (len(ws), len(toks), len(set(toks)))
+    return out
+
+
+def test_encode_corpus_matches_python_reference(spark):
+    from warcsum_spark.operators.bpe import encode_corpus
+
+    df = spark.createDataFrame(_ENC_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_tokens"],
+            r["n_distinct_subwords"],
+        )
+        for r in encode_corpus(df, _ENC_MERGES).collect()
+    }
+    assert got == _enc_expected()
+
+
+def test_encode_corpus_duckdb_twin(spark):
+    import pytest as _pytest
+
+    duckdb = _pytest.importorskip("duckdb")
+    from warcsum_spark.operators.bpe import bpe_encode_sql
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _ENC_DOCS)
+    sql = bpe_encode_sql(
+        f"src(doc_id, text) AS (VALUES {vals})", _ENC_MERGES
+    )
+    got = {r[0]: r[1:] for r in duckdb.sql(sql).fetchall()}
+    assert got == _enc_expected()
+
+
+def test_encode_corpus_with_learned_table(spark):
+    """End-to-end consistency: a merge table LEARNED by learn_bpe is
+    well-formed by construction, so the Arrow lowest-rank-first loop,
+    the pure-Python reference, and the rank-order DuckDB replay agree
+    on a corpus the fixture didn't hand-pick."""
+    import pytest as _pytest
+
+    duckdb = _pytest.importorskip("duckdb")
+    from warcsum_spark.operators.bpe import (
+        bpe_encode_sql,
+        encode_corpus,
+        learn_bpe,
+    )
+
+    docs = [
+        (i, " ".join(["scan", "hash", "row", "table", "join"][j % 5]
+                     for j in range(i, i + 6)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe(df, n_merges=8).orderBy("rank").collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_distinct_subwords"])
+        for r in encode_corpus(df, merges).collect()
+    }
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = bpe_encode_sql(f"src(doc_id, text) AS (VALUES {vals})", merges)
+    oracle = {r[0]: r[1:] for r in duckdb.sql(sql).fetchall()}
+    assert got == oracle
+    exp = {}
+    for i, t in docs:
+        ws = t.split()
+        toks = [s for w in ws for s in _py_encode(w, merges)]
+        exp[i] = (len(ws), len(toks), len(set(toks)))
+    assert got == exp

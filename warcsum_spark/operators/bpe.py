@@ -181,6 +181,126 @@ def learn_bpe(
     return spark.createDataFrame(merges, schema)
 
 
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """T87 — tokenize the corpus with a TRAINED merge table: per doc
+    (id, n_words, n_tokens, n_distinct_subwords). The other half of
+    T51: learn_bpe produces the merge table, this applies it — the
+    token-budget / sequence-packing inputs (T4/T76) a training pipeline
+    actually consumes.
+
+    Scale shape (Sennrich's dictionary trick, also how SentencePiece
+    encodes at corpus scale): encode DISTINCT word types once — the
+    type table is Heaps'-law small relative to the corpus — then hash-
+    join the encodings back to the word stream. One corpus-sized
+    exchange for the word explode + one join; the merge loop itself
+    never touches corpus-sized data. The Arrow kernel (encode_words)
+    is the engine path; for a WELL-FORMED merge table — every side of
+    a merge is a single symbol or the output of an EARLIER merge,
+    which any table produced by learn_bpe satisfies by construction —
+    its lowest-rank-first loop is equivalent to replaying merges once
+    each in rank order, greedy left-to-right, and the generated DuckDB
+    twin (bpe_encode_sql) replays exactly that. Docs with no words
+    come back with zero counts."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(txt), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    enc = encode_words(words.select("word").distinct(), merges)
+    toks = words.join(enc, "word").select(
+        id_col, F.explode("subwords").alias("sub")
+    )
+    stats = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("sub").alias("n_distinct_subwords"),
+    )
+    wc = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(wc, id_col, "left")
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct_subwords", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_subwords"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    source_cte: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> str:
+    """The identical encode as DuckDB SQL for the driver gate —
+    generated beside the implementation so the two cannot drift.
+    ``source_cte`` must define ``src(<id_col>, text)``. Each merge is
+    one greedy left-to-right pass over the space-separated symbol
+    string, in rank order (exact for well-formed tables, see
+    encode_corpus). Non-overlap under left==right merges is handled by
+    the doubled-separator trick: double every space, replace the
+    doubled-interior pattern, then collapse — adjacent occurrences no
+    longer share a boundary space."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    txt = "lower(trim(text))" if lowercase else "trim(text)"
+    # char symbols with '</w>' glued to the final char: 'abc' -> 'a b c</w>'
+    expr = (
+        "regexp_replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), "
+        "'([^ ]+)$', '\\1</w>')"
+    )
+    for left, right in merges:
+        pat = q(f" {left}  {right} ")
+        rep = q(f" {left}{right} ")
+        expr = (
+            f"trim(replace(replace(replace(' ' || {expr} || ' ', "
+            f"' ', '  '), '{pat}', '{rep}'), '  ', ' '))"
+        )
+    return f"""
+WITH {source_cte},
+words AS (
+  SELECT {id_col}, w FROM (
+    SELECT {id_col},
+           unnest(regexp_split_to_array({txt}, '\\s+')) AS w
+    FROM src)
+  WHERE w <> ''
+), types AS (
+  SELECT DISTINCT w FROM words
+), enc AS (
+  SELECT w, {expr} AS s FROM types
+), toks AS (
+  SELECT {id_col}, unnest(string_split(e.s, ' ')) AS sub
+  FROM words JOIN enc e USING (w)
+), stats AS (
+  SELECT {id_col}, count(*) AS n_tokens,
+         count(DISTINCT sub) AS n_distinct_subwords
+  FROM toks GROUP BY {id_col}
+), wc AS (
+  SELECT {id_col}, count(*) AS n_words FROM words GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(wc.n_words, 0)::BIGINT AS n_words,
+       coalesce(stats.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(stats.n_distinct_subwords, 0)::BIGINT
+         AS n_distinct_subwords
+FROM (SELECT DISTINCT {id_col} FROM src) d
+LEFT JOIN wc USING ({id_col})
+LEFT JOIN stats USING ({id_col})
+"""
+
+
 def encode_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
