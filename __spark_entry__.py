@@ -4804,6 +4804,26 @@ def _oracle_harmonic() -> str:
     )
 
 
+def q_knlm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T88 (operators/knlm.py): interpolated Kneser-Ney bigram LM
+    trained on the documents table (fixed discount 0.75) — the model
+    the CCNet recipe trains before perplexity-bucketing. Integer count
+    columns are exact; prob is the pinned single-expression float
+    (bit-identical cross-engine, rounded to 6 after)."""
+    from warcsum_spark.operators.knlm import kn_bigram_lm
+
+    return kn_bigram_lm(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_knlm() -> str:
+    from warcsum_spark.functions.quality import WS_CLASS
+    from warcsum_spark.operators.knlm import kn_bigram_sql
+
+    return kn_bigram_sql(
+        "src AS (SELECT text FROM documents)", WS_CLASS
+    )
+
+
 # T87: a fixed trained merge table over the synthetic corpus vocabulary —
 # well-formed by construction (every side is a single symbol or the output
 # of an earlier merge), the invariant that makes the lowest-rank-first
@@ -4959,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_links": q_k_core,
         "harmonic_centrality": q_harmonic_centrality,
         "bpe_encode_docs": q_bpe_encode_docs,
+        "knlm_bigrams": q_knlm_bigrams,
     }
 
 
@@ -5285,6 +5306,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core_links": _oracle_k_core(),
         "harmonic_centrality": _oracle_harmonic(),
         "bpe_encode_docs": _oracle_bpe_encode(),
+        "knlm_bigrams": _oracle_knlm(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -100,6 +100,7 @@ HEADLINE = [
     "k_core_links",
     "harmonic_centrality",
     "bpe_encode_docs",
+    "knlm_bigrams",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -304,6 +305,7 @@ QUERY_PRIMARY_TABLE = {
     "k_core_links": "events",
     "harmonic_centrality": "events",
     "bpe_encode_docs": "documents",
+    "knlm_bigrams": "documents",
 }
 
 
