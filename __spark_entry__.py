@@ -4858,6 +4858,25 @@ def _oracle_bpe_encode() -> str:
     )
 
 
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T89 (functions/readability.py): Flesch Reading Ease,
+    Flesch–Kincaid grade, and Gunning fog per document — map-only
+    higher-order expressions (zero exchanges, zero Python), syllables
+    via the pinned vowel-run + silent-e rule, scores as pinned
+    single-association float expressions rounded to 6."""
+    from warcsum_spark.functions.readability import readability
+
+    return readability(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _oracle_readability() -> str:
+    from warcsum_spark.functions.readability import readability_sql
+
+    return readability_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -4980,6 +4999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "bpe_encode_docs": q_bpe_encode_docs,
         "knlm_bigrams": q_knlm_bigrams,
+        "readability_docs": q_readability_docs,
     }
 
 
@@ -5307,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _oracle_harmonic(),
         "bpe_encode_docs": _oracle_bpe_encode(),
         "knlm_bigrams": _oracle_knlm(),
+        "readability_docs": _oracle_readability(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -101,6 +101,7 @@ HEADLINE = [
     "harmonic_centrality",
     "bpe_encode_docs",
     "knlm_bigrams",
+    "readability_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -306,6 +307,7 @@ QUERY_PRIMARY_TABLE = {
     "harmonic_centrality": "events",
     "bpe_encode_docs": "documents",
     "knlm_bigrams": "documents",
+    "readability_docs": "documents",
 }
 
 
