@@ -4877,6 +4877,23 @@ def _oracle_readability() -> str:
     return readability_sql()
 
 
+def q_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T90 (operators/zipf.py): Zipf rank-frequency slope + Heaps'
+    vocabulary-growth fit over the documents table — one diagnostic
+    row; regression sums are 1e8-scaled exact integers in
+    DECIMAL(38,0)/HUGEINT so the fits are bit-identical cross-engine
+    and partitioning-invariant."""
+    from warcsum_spark.operators.zipf import corpus_laws
+
+    return corpus_laws(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_corpus_laws() -> str:
+    from warcsum_spark.operators.zipf import corpus_laws_sql
+
+    return corpus_laws_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5000,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": q_bpe_encode_docs,
         "knlm_bigrams": q_knlm_bigrams,
         "readability_docs": q_readability_docs,
+        "corpus_laws": q_corpus_laws,
     }
 
 
@@ -5328,6 +5346,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _oracle_bpe_encode(),
         "knlm_bigrams": _oracle_knlm(),
         "readability_docs": _oracle_readability(),
+        "corpus_laws": _oracle_corpus_laws(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
