@@ -4877,6 +4877,55 @@ def _oracle_readability() -> str:
     return readability_sql()
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T91 (operators/fusion.py): reciprocal-rank fusion of the BM25
+    lexical run (T69, the exact q_bm25_search config incl. the salted
+    hot-query path) with a dense cosine run (T2 brute force, query
+    vectors 1–4 over the full embeddings table — vec_id shares the
+    doc_id domain). Scores are the pinned two-term 1/(60+rank) chain,
+    fused rank deterministic on the rounded score."""
+    from warcsum_spark.operators.bm25 import bm25_search
+    from warcsum_spark.operators.fusion import rrf_fuse
+    from warcsum_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_search(
+        docs,
+        spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
+        k=5,
+        salt_buckets=8,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = brute_force_topk(emb, qvecs, k=10)
+    return rrf_fuse([lex, dense], k=10)
+
+
+def _oracle_rrf() -> str:
+    from warcsum_spark.operators.fusion import rrf_sql
+
+    dense = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS score
+  FROM embeddings q JOIN embeddings c ON q.vec_id BETWEEN 1 AND 4
+), rankd AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM rankd WHERE rank <= 10
+"""
+    return rrf_sql([(_oracle_bm25(), "doc_id"), (dense, "vec_id")], k=10)
+
+
 def q_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T90 (operators/zipf.py): Zipf rank-frequency slope + Heaps'
     vocabulary-growth fit over the documents table — one diagnostic
@@ -5018,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knlm_bigrams": q_knlm_bigrams,
         "readability_docs": q_readability_docs,
         "corpus_laws": q_corpus_laws,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -5347,6 +5397,7 @@ def oracle_sql() -> dict[str, str]:
         "knlm_bigrams": _oracle_knlm(),
         "readability_docs": _oracle_readability(),
         "corpus_laws": _oracle_corpus_laws(),
+        "rrf_fusion": _oracle_rrf(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
