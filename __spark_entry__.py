@@ -4877,6 +4877,53 @@ def _oracle_readability() -> str:
     return readability_sql()
 
 
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T92 (operators/postings.py): Elias γ/δ + vbyte gap-code bit
+    accounting over the T30 inverted index (same prep as
+    q_inverted_index: rare xtok markers carry real posting lists, the
+    hot natural vocabulary exercises the NULL-cost path). Entirely
+    row-local exact integer arithmetic; the one double is the pinned
+    γ/raw ratio."""
+    from warcsum_spark.operators.inverted_index import build_inverted_index
+    from warcsum_spark.operators.postings import postings_compression
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" xtok"), (F.col("doc_id") % 97).cast("string")
+        ).alias("text"),
+    )
+    return postings_compression(build_inverted_index(docs, max_postings=30))
+
+
+def _oracle_postings() -> str:
+    from warcsum_spark.operators.postings import postings_compression_sql
+
+    index_cte = r"""ix AS (
+  WITH docs AS (
+    SELECT doc_id, text || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
+    FROM documents
+  ), nrm AS (
+    SELECT doc_id,
+           trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+    FROM docs
+  ), toks AS (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS term
+    FROM nrm WHERE t <> ''
+  ), stats AS (
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+    FROM toks GROUP BY term
+  ), posts AS (
+    SELECT term, list(DISTINCT doc_id ORDER BY doc_id) AS postings
+    FROM toks GROUP BY term
+  )
+  SELECT s.term, s.df, s.cf,
+         CASE WHEN s.df <= 30 THEN p.postings END AS postings
+  FROM stats s JOIN posts p USING (term)
+)"""
+    return postings_compression_sql(index_cte)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T91 (operators/fusion.py): reciprocal-rank fusion of the BM25
     lexical run (T69, the exact q_bm25_search config incl. the salted
@@ -5068,6 +5115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": q_readability_docs,
         "corpus_laws": q_corpus_laws,
         "rrf_fusion": q_rrf_fusion,
+        "postings_compression": q_postings_compression,
     }
 
 
@@ -5398,6 +5446,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _oracle_readability(),
         "corpus_laws": _oracle_corpus_laws(),
         "rrf_fusion": _oracle_rrf(),
+        "postings_compression": _oracle_postings(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
