@@ -4924,6 +4924,49 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_docid_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T93 (operators/docid_remap.py): URL-sort doc-ID reassignment +
+    per-term γ/δ savings. URLs are zero-padded so lexicographic order
+    is (host, doc_id) numeric order; the per-host htok markers become
+    gap-1 runs under the new ids (real savings), the xtok markers stay
+    host-uncorrelated, and the natural hot vocabulary exercises the
+    NULL-capped path on both sides."""
+    from warcsum_spark.operators.docid_remap import reassignment_report
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://s"),
+            F.lpad((d % 20).cast("string"), 2, "0"),
+            F.lit(".test/p"),
+            F.lpad(d.cast("string"), 6, "0"),
+        ).alias("url"),
+        F.concat(
+            "text",
+            F.lit(" htok"),
+            (d % 20).cast("string"),
+            F.lit(" xtok"),
+            (d % 97).cast("string"),
+        ).alias("text"),
+    )
+    return reassignment_report(docs, max_postings=30)
+
+
+def _oracle_docid_remap() -> str:
+    from warcsum_spark.operators.docid_remap import reassignment_sql
+
+    docs_cte = """docs AS (
+  SELECT doc_id,
+    'http://s' || lpad(CAST(doc_id % 20 AS VARCHAR), 2, '0')
+      || '.test/p' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+    text || ' htok' || CAST(doc_id % 20 AS VARCHAR)
+         || ' xtok' || CAST(doc_id % 97 AS VARCHAR) AS text
+  FROM documents
+)"""
+    return reassignment_sql(docs_cte, cap=30)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T91 (operators/fusion.py): reciprocal-rank fusion of the BM25
     lexical run (T69, the exact q_bm25_search config incl. the salted
@@ -5116,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_laws": q_corpus_laws,
         "rrf_fusion": q_rrf_fusion,
         "postings_compression": q_postings_compression,
+        "docid_remap": q_docid_remap,
     }
 
 
@@ -5447,6 +5491,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_laws": _oracle_corpus_laws(),
         "rrf_fusion": _oracle_rrf(),
         "postings_compression": _oracle_postings(),
+        "docid_remap": _oracle_docid_remap(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
