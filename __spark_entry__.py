@@ -4924,6 +4924,39 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T94 (operators/kmv.py): KMV-sketch overlap between the corpus
+    and a synthetic recrawl of itself in which every doc_id % 3 == 0
+    page changed — distinct counts, union, Jaccard, and containment
+    from two 64-row sketches, never a corpus join. Estimator paths
+    exercised on both sides (both corpora exceed k distinct texts)."""
+    from warcsum_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    crawl_a = docs.select("text")
+    crawl_b = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" changed"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return kmv_overlap(
+        kmv_sketch(crawl_a, k=64), kmv_sketch(crawl_b, k=64), k=64
+    )
+
+
+def _oracle_kmv() -> str:
+    from warcsum_spark.operators.kmv import kmv_overlap_sql
+
+    return kmv_overlap_sql(
+        "SELECT text FROM documents",
+        "SELECT CASE WHEN doc_id % 3 = 0 THEN text || ' changed'"
+        " ELSE text END AS text FROM documents",
+        k=64,
+    )
+
+
 def q_docid_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T93 (operators/docid_remap.py): URL-sort doc-ID reassignment +
     per-term γ/δ savings. URLs are zero-padded so lexicographic order
@@ -5160,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "postings_compression": q_postings_compression,
         "docid_remap": q_docid_remap,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -5492,6 +5526,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _oracle_rrf(),
         "postings_compression": _oracle_postings(),
         "docid_remap": _oracle_docid_remap(),
+        "kmv_overlap": _oracle_kmv(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
