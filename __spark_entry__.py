@@ -4924,6 +4924,42 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T95 (operators/assortativity.py): the four directed degree
+    assortativity coefficients of a deterministic chain+hub link graph
+    (hub fan-in/fan-out makes it disassortative like the real web;
+    multi-edges from repeated event rows exercise the pinned
+    multiplicity semantics). Exact HUGEINT/DECIMAL sums; the only IEEE
+    ops are the pinned final chain."""
+    from warcsum_spark.operators.assortativity import degree_assortativity
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.col("event_id") % 50
+    edges = (
+        ev.select(h.alias("src"), ((h + 1) % 50).alias("dst"))
+        .unionByName(
+            ev.select(
+                F.lit(100).alias("src"), (h % 9 + 200).alias("dst")
+            )
+        )
+        .unionByName(
+            ev.select((h % 37 + 300).alias("src"), F.lit(100).alias("dst"))
+        )
+    )
+    return degree_assortativity(edges)
+
+
+def _oracle_assortativity() -> str:
+    from warcsum_spark.operators.assortativity import assortativity_sql
+
+    return assortativity_sql(
+        "SELECT event_id % 50 AS src, (event_id % 50 + 1) % 50 AS dst"
+        " FROM events"
+        " UNION ALL SELECT 100, event_id % 50 % 9 + 200 FROM events"
+        " UNION ALL SELECT event_id % 50 % 37 + 300, 100 FROM events"
+    )
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T94 (operators/kmv.py): KMV-sketch overlap between the corpus
     and a synthetic recrawl of itself in which every doc_id % 3 == 0
@@ -5194,6 +5230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_compression": q_postings_compression,
         "docid_remap": q_docid_remap,
         "kmv_overlap": q_kmv_overlap,
+        "assortativity": q_assortativity,
     }
 
 
@@ -5527,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_compression": _oracle_postings(),
         "docid_remap": _oracle_docid_remap(),
         "kmv_overlap": _oracle_kmv(),
+        "assortativity": _oracle_assortativity(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
