@@ -4924,6 +4924,45 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T96 (operators/recrawl.py::change_rate_mle): the Cho &
+    Garcia-Molina bias-corrected Poisson change-rate estimator over
+    the same synthesized fetch history as q_recrawl_schedule — the
+    statistical upgrade of T35's naive span/changes interval."""
+    from warcsum_spark.operators.recrawl import change_rate_mle
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.select(
+        F.concat(
+            F.lit("http://s"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("user_id") % 97).cast("string"),
+        ).alias("url"),
+        F.col("ts"),
+        F.md5(
+            ((F.floor("value").cast("int")) % 4).cast("string")
+        ).alias("digest"),
+        F.col("event_id"),
+    )
+    return change_rate_mle(history, tiebreak_col="event_id")
+
+
+def _oracle_change_rate() -> str:
+    from warcsum_spark.operators.recrawl import change_rate_sql
+
+    return change_rate_sql(
+        """hist AS (
+  SELECT 'http://s' || CAST(user_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(user_id % 97 AS VARCHAR) AS url,
+         ts,
+         md5(CAST(CAST(floor(value) AS INT) % 4 AS VARCHAR)) AS digest,
+         event_id
+  FROM events
+)"""
+    )
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T95 (operators/assortativity.py): the four directed degree
     assortativity coefficients of a deterministic chain+hub link graph
@@ -5231,6 +5270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_remap": q_docid_remap,
         "kmv_overlap": q_kmv_overlap,
         "assortativity": q_assortativity,
+        "change_rate_mle": q_change_rate,
     }
 
 
@@ -5565,6 +5605,7 @@ def oracle_sql() -> dict[str, str]:
         "docid_remap": _oracle_docid_remap(),
         "kmv_overlap": _oracle_kmv(),
         "assortativity": _oracle_assortativity(),
+        "change_rate_mle": _oracle_change_rate(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
