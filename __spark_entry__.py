@@ -4924,6 +4924,34 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T97 (operators/concentration.py): HHI + Gini of documents per
+    host over a deliberately skewed host assignment (one mega-host
+    with ~half the corpus, one mid host, a small-host tail) so the
+    indices sit away from both 0 and 1 and every sum path runs."""
+    from warcsum_spark.operators.concentration import host_concentration
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(d % 2 == 0, F.lit("mega.test"))
+        .when(d % 3 == 0, F.lit("mid.test"))
+        .otherwise(F.concat(F.lit("s"), (d % 25).cast("string"), F.lit(".test")))
+        .alias("host")
+    )
+    return host_concentration(docs)
+
+
+def _oracle_host_concentration() -> str:
+    from warcsum_spark.operators.concentration import host_concentration_sql
+
+    return host_concentration_sql(
+        "SELECT CASE WHEN doc_id % 2 = 0 THEN 'mega.test'"
+        " WHEN doc_id % 3 = 0 THEN 'mid.test'"
+        " ELSE 's' || CAST(doc_id % 25 AS VARCHAR) || '.test' END AS host"
+        " FROM documents"
+    )
+
+
 def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T96 (operators/recrawl.py::change_rate_mle): the Cho &
     Garcia-Molina bias-corrected Poisson change-rate estimator over
@@ -5271,6 +5299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "assortativity": q_assortativity,
         "change_rate_mle": q_change_rate,
+        "host_concentration": q_host_concentration,
     }
 
 
@@ -5606,6 +5635,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _oracle_kmv(),
         "assortativity": _oracle_assortativity(),
         "change_rate_mle": _oracle_change_rate(),
+        "host_concentration": _oracle_host_concentration(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
