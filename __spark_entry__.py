@@ -4924,6 +4924,27 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T98 (operators/rproj.py): Achlioptas sparse random projection
+    64 → 16 dims over the embeddings table with the per-vector JL
+    distortion audit — the md5-derived matrix is inlined into both
+    engines and every dot/norm is a sequential fold, so the twin is
+    bit-exact by construction."""
+    from warcsum_spark.operators.rproj import rp_report
+
+    return rp_report(
+        _t(spark, sf_dir, "embeddings"), dim_in=64, dim_out=16
+    )
+
+
+def _oracle_rproj() -> str:
+    from warcsum_spark.operators.rproj import rp_report_sql
+
+    return rp_report_sql(
+        "SELECT vec_id, embedding FROM embeddings", dim_in=64, dim_out=16
+    )
+
+
 def q_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T97 (operators/concentration.py): HHI + Gini of documents per
     host over a deliberately skewed host assignment (one mega-host
@@ -5300,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "change_rate_mle": q_change_rate,
         "host_concentration": q_host_concentration,
+        "rp_distortion": q_rp_distortion,
     }
 
 
@@ -5636,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": _oracle_assortativity(),
         "change_rate_mle": _oracle_change_rate(),
         "host_concentration": _oracle_host_concentration(),
+        "rp_distortion": _oracle_rproj(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
