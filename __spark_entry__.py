@@ -4924,6 +4924,39 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T99 (operators/cocitation.py): co-citation related-pages over a
+    deterministic referrer graph — block referrers co-cite their
+    block's targets (real pairs), one directory hub links everything
+    (must be dropped by the fan-out cap), multi-edges collapse."""
+    from warcsum_spark.operators.cocitation import cocitation
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    # referrer r = e % 40 links to targets 1000 + (r % 8)*3 + {0,1,2}
+    block = (e % 40) % 8 * 3
+    links = (
+        ev.select((e % 40).alias("src"), (F.lit(1000) + block + e % 3).alias("dst"))
+        .unionByName(
+            # the directory hub: src 999 links to EVERY target
+            ev.select(F.lit(999).alias("src"), (F.lit(1000) + e % 24).alias("dst"))
+        )
+    )
+    return cocitation(links, min_common=2, max_fanout=10)
+
+
+def _oracle_cocitation() -> str:
+    from warcsum_spark.operators.cocitation import cocitation_sql
+
+    return cocitation_sql(
+        "SELECT event_id % 40 AS src,"
+        " 1000 + (event_id % 40) % 8 * 3 + event_id % 3 AS dst FROM events"
+        " UNION ALL SELECT 999, 1000 + event_id % 24 FROM events",
+        min_common=2,
+        max_fanout=10,
+    )
+
+
 def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T98 (operators/rproj.py): Achlioptas sparse random projection
     64 → 16 dims over the embeddings table with the per-vector JL
@@ -5322,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate_mle": q_change_rate,
         "host_concentration": q_host_concentration,
         "rp_distortion": q_rp_distortion,
+        "cocitation": q_cocitation,
     }
 
 
@@ -5659,6 +5693,7 @@ def oracle_sql() -> dict[str, str]:
         "change_rate_mle": _oracle_change_rate(),
         "host_concentration": _oracle_host_concentration(),
         "rp_distortion": _oracle_rproj(),
+        "cocitation": _oracle_cocitation(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
