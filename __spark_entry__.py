@@ -4924,6 +4924,30 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T100 (operators/opic.py): synchronous OPIC cash/history rounds
+    over the same link graph as `pagerank_links` (nodes 40-49 dangling,
+    so the virtual-page uniform redistribution runs every round) — the
+    crawl-native importance the frontier would order fetches by."""
+    from warcsum_spark.operators.opic import opic
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    return opic(edges, iters=4)
+
+
+def _oracle_opic() -> str:
+    from warcsum_spark.operators.opic import opic_oracle_sql
+
+    return opic_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        iters=4,
+    )
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T99 (operators/cocitation.py): co-citation related-pages over a
     deterministic referrer graph — block referrers co-cite their
@@ -5356,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_concentration": q_host_concentration,
         "rp_distortion": q_rp_distortion,
         "cocitation": q_cocitation,
+        "opic_importance": q_opic,
     }
 
 
@@ -5694,6 +5719,7 @@ def oracle_sql() -> dict[str, str]:
         "host_concentration": _oracle_host_concentration(),
         "rp_distortion": _oracle_rproj(),
         "cocitation": _oracle_cocitation(),
+        "opic_importance": _oracle_opic(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
