@@ -4924,6 +4924,55 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T101 (operators/bowtie.py): bow-tie decomposition of a graph
+    with a known factorization — a 10-node core cycle, a 10-node IN
+    chain feeding it, a 10-node OUT chain leaving it, and a
+    disconnected 2-cycle (OTHER). Pivot pinned to core node 100."""
+    from warcsum_spark.operators.bowtie import bowtie_summary
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    m = e % 10
+    core = ev.select((m + 100).alias("src"), ((m + 1) % 10 + 100).alias("dst"))
+    in_chain = ev.filter(m <= 8).select(m.alias("src"), (m + 1).alias("dst"))
+    in_link = ev.select(F.lit(9).alias("src"), F.lit(100).alias("dst"))
+    out_link = ev.select(F.lit(105).alias("src"), F.lit(200).alias("dst"))
+    out_chain = ev.filter(m <= 8).select(
+        (m + 200).alias("src"), (m + 201).alias("dst")
+    )
+    island = ev.select(
+        (e % 2 + 500).alias("src"), ((e + 1) % 2 + 500).alias("dst")
+    )
+    edges = (
+        core.unionByName(in_chain)
+        .unionByName(in_link)
+        .unionByName(out_link)
+        .unionByName(out_chain)
+        .unionByName(island)
+    )
+    return bowtie_summary(edges, max_hops=24, pivot=100)
+
+
+def _oracle_bowtie() -> str:
+    from warcsum_spark.operators.bowtie import bowtie_sql
+
+    return bowtie_sql(
+        "SELECT event_id % 10 + 100 AS src,"
+        " (event_id % 10 + 1) % 10 + 100 AS dst FROM events"
+        " UNION ALL SELECT event_id % 10, event_id % 10 + 1 FROM events"
+        " WHERE event_id % 10 <= 8"
+        " UNION ALL SELECT 9, 100 FROM events"
+        " UNION ALL SELECT 105, 200 FROM events"
+        " UNION ALL SELECT event_id % 10 + 200, event_id % 10 + 201"
+        " FROM events WHERE event_id % 10 <= 8"
+        " UNION ALL SELECT event_id % 2 + 500, (event_id + 1) % 2 + 500"
+        " FROM events",
+        max_hops=24,
+        pivot=100,
+    )
+
+
 def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T100 (operators/opic.py): synchronous OPIC cash/history rounds
     over the same link graph as `pagerank_links` (nodes 40-49 dangling,
@@ -5381,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_distortion": q_rp_distortion,
         "cocitation": q_cocitation,
         "opic_importance": q_opic,
+        "bowtie_decomposition": q_bowtie,
     }
 
 
@@ -5720,6 +5770,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_distortion": _oracle_rproj(),
         "cocitation": _oracle_cocitation(),
         "opic_importance": _oracle_opic(),
+        "bowtie_decomposition": _oracle_bowtie(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
