@@ -4924,6 +4924,34 @@ def _oracle_postings() -> str:
     return postings_compression_sql(index_cte)
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T102 (operators/drift_cat.py): chi-square homogeneity between
+    the corpus language mix and a synthetic next-crawl snapshot in
+    which every doc_id % 5 == 0 page re-identified as a NEW language
+    'xx' — the absent-on-one-side join path and the per-category
+    attribution both run."""
+    from warcsum_spark.operators.drift_cat import categorical_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = docs.select("lang")
+    snap_b = docs.select(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    )
+    return categorical_drift(snap_a, snap_b)
+
+
+def _oracle_categorical_drift() -> str:
+    from warcsum_spark.operators.drift_cat import categorical_drift_sql
+
+    return categorical_drift_sql(
+        "SELECT lang FROM documents",
+        "SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang"
+        " FROM documents",
+    )
+
+
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T101 (operators/bowtie.py): bow-tie decomposition of a graph
     with a known factorization — a 10-node core cycle, a 10-node IN
@@ -5431,6 +5459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "opic_importance": q_opic,
         "bowtie_decomposition": q_bowtie,
+        "categorical_drift": q_categorical_drift,
     }
 
 
@@ -5771,6 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": _oracle_cocitation(),
         "opic_importance": _oracle_opic(),
         "bowtie_decomposition": _oracle_bowtie(),
+        "categorical_drift": _oracle_categorical_drift(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
