@@ -256,3 +256,44 @@ def test_stream_url_gate_equals_batch(spark, tmp_path):
     assert not any(u.endswith(tuple(f"/q/1{d}" for d in "0123456789")) for u, _, _ in got)
     assert any(u.startswith("http://site0.test/p/") for u, _, _ in got)
     assert 0 < len(got) < 122
+
+
+def test_stream_readability_equals_batch(spark, tmp_path):
+    """T89's battery is a stateless row-local projection, so the
+    streaming lift must score every row exactly as the batch form —
+    value equality on the floats, not approx (same expressions, same
+    rows, no aggregation anywhere)."""
+    from warcsum_spark.streaming.readability_stream import (
+        readability_columns,
+        stream_readability,
+    )
+
+    indir = tmp_path / "rd_in"
+    indir.mkdir()
+    write_web_pages_parquet(str(indir / "p1.parquet"), 100, seed=5)
+    write_web_pages_parquet(str(indir / "p2.parquet"), 100, seed=6)
+
+    out = str(tmp_path / "rd_out")
+    q = (
+        stream_readability(spark, str(indir), max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "rd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in readability_columns(
+            spark.read.parquet(str(indir))
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want  # exact multiset equality, floats included
+    assert len(got) == 200
+    # the battery actually scored something non-degenerate
+    scored = [t for t in got if t[5] is not None]
+    assert len(scored) > 0
