@@ -102,6 +102,19 @@ HEADLINE = [
     "bpe_encode_docs",
     "knlm_bigrams",
     "readability_docs",
+    "corpus_laws",
+    "rrf_fusion",
+    "postings_compression",
+    "docid_remap",
+    "kmv_overlap",
+    "assortativity",
+    "change_rate_mle",
+    "host_concentration",
+    "rp_distortion",
+    "cocitation",
+    "opic_importance",
+    "bowtie_decomposition",
+    "categorical_drift",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -308,6 +321,19 @@ QUERY_PRIMARY_TABLE = {
     "bpe_encode_docs": "documents",
     "knlm_bigrams": "documents",
     "readability_docs": "documents",
+    "corpus_laws": "documents",
+    "rrf_fusion": "documents",
+    "postings_compression": "documents",
+    "docid_remap": "documents",
+    "kmv_overlap": "documents",
+    "assortativity": "events",
+    "change_rate_mle": "events",
+    "host_concentration": "documents",
+    "rp_distortion": "embeddings",
+    "cocitation": "events",
+    "opic_importance": "events",
+    "bowtie_decomposition": "events",
+    "categorical_drift": "documents",
 }
 
 
