@@ -4956,7 +4956,10 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T101 (operators/bowtie.py): bow-tie decomposition of a graph
     with a known factorization — a 10-node core cycle, a 10-node IN
     chain feeding it, a 10-node OUT chain leaving it, and a
-    disconnected 2-cycle (OTHER). Pivot pinned to core node 100."""
+    disconnected 2-cycle (OTHER). Pivot pinned to core node 100;
+    max_hops=17 = the graph's eccentricity from the pivot (15) + 2
+    margin — BFS rounds are the operator's cost axis, so the budget is
+    sized to the graph, not defaulted."""
     from warcsum_spark.operators.bowtie import bowtie_summary
 
     ev = _t(spark, sf_dir, "events")
@@ -4979,7 +4982,7 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_chain)
         .unionByName(island)
     )
-    return bowtie_summary(edges, max_hops=24, pivot=100)
+    return bowtie_summary(edges, max_hops=17, pivot=100)
 
 
 def _oracle_bowtie() -> str:
@@ -4996,7 +4999,7 @@ def _oracle_bowtie() -> str:
         " FROM events WHERE event_id % 10 <= 8"
         " UNION ALL SELECT event_id % 2 + 500, (event_id + 1) % 2 + 500"
         " FROM events",
-        max_hops=24,
+        max_hops=17,
         pivot=100,
     )
 
