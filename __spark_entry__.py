@@ -5327,6 +5327,78 @@ def _oracle_corpus_laws() -> str:
     return corpus_laws_sql()
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T103 (operators/mirrors.py): content-based mirror-host
+    detection over a deterministic host/path/fingerprint layout —
+    hosts h0–h6 serve identical content at identical paths (perfect
+    mirrors), h7 mutates every third page (partial mirror), and a
+    boilerplate footer shared by 30 synthetic hosts must vanish under
+    the ubiquity cap (and leave the size base)."""
+    from warcsum_spark.operators.mirrors import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    p = F.expr("doc_id DIV 8")
+    mut = F.when(
+        (d % 8 == 7) & (p % 3 == 0), F.lit("mut")
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        F.concat(F.lit("h"), (d % 8).cast("string")).alias("host"),
+        F.concat(F.lit("/"), p.cast("string")).alias("path"),
+        F.md5(F.concat(p.cast("string"), mut)).alias("fp"),
+    )
+    boiler = docs.select(
+        F.concat(F.lit("b"), (d % 30).cast("string")).alias("host"),
+        F.lit("/footer").alias("path"),
+        F.md5(F.lit("boiler")).alias("fp"),
+    )
+    return mirror_hosts(
+        pages.unionByName(boiler), min_shared=2, max_hosts=10
+    )
+
+
+def _oracle_mirror_hosts() -> str:
+    from warcsum_spark.operators.mirrors import mirror_hosts_sql
+
+    return mirror_hosts_sql(
+        "SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,"
+        " '/' || CAST(doc_id // 8 AS VARCHAR) AS path,"
+        " md5(CAST(doc_id // 8 AS VARCHAR)"
+        "     || CASE WHEN doc_id % 8 = 7 AND (doc_id // 8) % 3 = 0"
+        "        THEN 'mut' ELSE '' END) AS fp"
+        " FROM documents"
+        " UNION ALL"
+        " SELECT 'b' || CAST(doc_id % 30 AS VARCHAR), '/footer',"
+        " md5('boiler') FROM documents",
+        min_shared=2,
+        max_hosts=10,
+    )
+
+
+def q_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T104 (operators/unimax.py): UniMax epoch-capped waterfilling of
+    a training budget over the corpus's real language mix — the one
+    corpus-grain exchange is the language count; the allocation
+    windows run on the dimension-sized language table."""
+    from warcsum_spark.operators.unimax import (
+        language_sizes,
+        unimax_budgets,
+    )
+
+    sizes = language_sizes(_t(spark, sf_dir, "documents"))
+    return unimax_budgets(sizes, budget=600, max_epochs=2)
+
+
+def _oracle_unimax() -> str:
+    from warcsum_spark.operators.unimax import unimax_sql
+
+    return unimax_sql(
+        "SELECT lang, count(*) AS size FROM documents GROUP BY lang",
+        budget=600,
+        max_epochs=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5463,6 +5535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": q_opic,
         "bowtie_decomposition": q_bowtie,
         "categorical_drift": q_categorical_drift,
+        "mirror_hosts": q_mirror_hosts,
+        "unimax_budgets": q_unimax_budgets,
     }
 
 
@@ -5804,6 +5878,8 @@ def oracle_sql() -> dict[str, str]:
         "opic_importance": _oracle_opic(),
         "bowtie_decomposition": _oracle_bowtie(),
         "categorical_drift": _oracle_categorical_drift(),
+        "mirror_hosts": _oracle_mirror_hosts(),
+        "unimax_budgets": _oracle_unimax(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
