@@ -5399,6 +5399,44 @@ def _oracle_unimax() -> str:
     )
 
 
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T105 (operators/hyperball.py): interpolated 90%-effective
+    diameter of the harmonic driver graph (chain + skip links + fan-in
+    hub + fan-out leaves, forward direction) at the max_t=8 horizon —
+    the exact-integer threshold and one pinned division, vs the
+    generated unrolled-BFS DuckDB twin."""
+    from warcsum_spark.operators.hyperball import effective_diameter
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    chain = ev.select((e % 60).alias("src"), (e % 60 + 1).alias("dst"))
+    skips = ev.filter(e % 5 == 0).select(
+        (e % 60).alias("src"), (e % 60 + 7).alias("dst")
+    )
+    fan_in = ev.select((e % 37).alias("src"), F.lit(500).alias("dst"))
+    fan_out = ev.select(
+        F.lit(500).alias("src"), (F.lit(600) + e % 9).alias("dst")
+    )
+    links = (
+        chain.unionByName(skips).unionByName(fan_in).unionByName(fan_out)
+    )
+    return effective_diameter(links, max_t=8)
+
+
+def _oracle_effective_diameter() -> str:
+    from warcsum_spark.operators.hyperball import effective_diameter_sql
+
+    return effective_diameter_sql(
+        "src AS ("
+        "SELECT event_id % 60 AS src, event_id % 60 + 1 AS dst FROM events "
+        "UNION ALL SELECT event_id % 60, event_id % 60 + 7 FROM events "
+        "WHERE event_id % 5 = 0 "
+        "UNION ALL SELECT event_id % 37, 500 FROM events "
+        "UNION ALL SELECT 500, 600 + event_id % 9 FROM events)",
+        max_t=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5537,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift": q_categorical_drift,
         "mirror_hosts": q_mirror_hosts,
         "unimax_budgets": q_unimax_budgets,
+        "effective_diameter": q_effective_diameter,
     }
 
 
@@ -5880,6 +5919,7 @@ def oracle_sql() -> dict[str, str]:
         "categorical_drift": _oracle_categorical_drift(),
         "mirror_hosts": _oracle_mirror_hosts(),
         "unimax_budgets": _oracle_unimax(),
+        "effective_diameter": _oracle_effective_diameter(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

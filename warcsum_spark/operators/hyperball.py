@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from warcsum_spark.operators.hll import hll_columns, hll_estimate
@@ -259,6 +259,33 @@ def harmonic_sql(source_cte: str, max_t: int) -> str:
     define ``src(src, dst)``. Harmonic uses the same exact-integer
     numerator over L = lcm(1..max_t) and one division."""
     L = math.lcm(*range(1, max_t + 1))
+    parts = _bfs_sql_parts(source_cte, max_t)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, counts AS (
+  SELECT node, dist, count(*) AS cnt
+  FROM b{max_t} WHERE dist >= 1 GROUP BY node, dist
+), agg AS (
+  SELECT node, CAST(sum(cnt) AS BIGINT) AS reached,
+         CAST(sum(cnt * ({L} // dist)) AS BIGINT) AS hnum
+  FROM counts GROUP BY node
+)
+SELECT n.node,
+       coalesce(a.reached, 0)::BIGINT AS reached,
+       CAST(coalesce(a.hnum, 0) AS DOUBLE) / {float(L)} AS harmonic
+FROM nodes n LEFT JOIN agg a ON n.node = a.node
+"""
+    )
+
+
+def _bfs_sql_parts(source_cte: str, max_t: int) -> list[str]:
+    """The shared unrolled-BFS CTE prefix (``e``/``nodes``/``b{t}``/
+    ``f{t}``) used by ``harmonic_sql`` and ``effective_diameter_sql``
+    — each level is referenced by the next round's join AND the
+    running ball union, so every CTE is MATERIALIZED (the k_core_sql
+    discipline). ``source_cte`` must define ``src(src, dst)``."""
     parts = [
         source_cte,
         "e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM src "
@@ -282,6 +309,87 @@ def harmonic_sql(source_cte: str, max_t: int) -> str:
             f"b{t} AS MATERIALIZED (SELECT * FROM b{t - 1} "
             f"UNION ALL SELECT node, member, {t} AS dist FROM f{t})"
         )
+    return parts
+
+
+def distance_distribution(
+    edges: DataFrame,
+    max_t: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """T105 — the whole-graph distance distribution N(t) (Palmer,
+    Gibbons & Faloutsos KDD 2002; the quantity HyperANF estimates):
+    ``(dist, pairs, cum_pairs)`` where ``pairs`` counts ordered
+    reachable pairs at shortest distance exactly ``dist`` (1-based;
+    self-pairs excluded — pinned) and ``cum_pairs`` is the running
+    N(dist), truncated at the ``max_t`` horizon. One dimension-sized
+    table (≤ max_t rows) aggregated from the exact all-balls BFS; the
+    cumulative window runs on those ≤ max_t rows."""
+    counts = neighborhood_exact(edges, max_t, src_col, dst_col)
+    per_t = counts.groupBy("dist").agg(F.sum("cnt").alias("pairs"))
+    w = Window.orderBy("dist")
+    return per_t.withColumn("cum_pairs", F.sum("pairs").over(w)).select(
+        "dist", "pairs", "cum_pairs"
+    )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    max_t: int,
+    q_num: int = 9,
+    q_den: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """T105 — interpolated effective diameter (Leskovec, Kleinberg &
+    Faloutsos KDD 2005 convention; the headline statistic of HyperANF
+    and of every webgraph release): the smallest t such that N(t) ≥
+    (q_num/q_den)·N(horizon), linearly interpolated inside that step.
+
+    One row: ``(total_pairs, eff_at, effective_diameter)``. Pinned,
+    engine-portable arithmetic: the threshold test is the exact
+    integer comparison ``cum·q_den ≥ total·q_num`` (never a float
+    quantile), and the interpolation is ONE IEEE division of exact
+    integers — ``eff = (t−1) + (total·q_num − prev·q_den) /
+    (q_den·(cum − prev))`` — rounded to 6, bit-identical cross-engine.
+    ``total`` is N at the ``max_t`` horizon (the harmonic_exact
+    truncation contract: pick max_t ≥ the graph's eccentricity for the
+    untruncated statistic). A graph with no reachable pairs yields an
+    empty result — pinned. The candidate scan is a TakeOrdered over
+    the ≤ max_t distribution rows, never a global sort."""
+    dd = distance_distribution(edges, max_t, src_col, dst_col)
+    wall = Window.partitionBy()
+    flagged = dd.withColumn("total_pairs", F.max("cum_pairs").over(wall))
+    sat = flagged.filter(
+        F.col("cum_pairs") * F.lit(int(q_den))
+        >= F.col("total_pairs") * F.lit(int(q_num))
+    )
+    first = sat.orderBy("dist").limit(1)
+    prev = F.col("cum_pairs") - F.col("pairs")
+    eff = F.round(
+        (F.col("dist") - 1).cast("double")
+        + (
+            F.col("total_pairs") * F.lit(int(q_num))
+            - prev * F.lit(int(q_den))
+        ).cast("double")
+        / (F.col("pairs") * F.lit(int(q_den))).cast("double"),
+        6,
+    )
+    return first.select(
+        "total_pairs",
+        F.col("dist").cast("long").alias("eff_at"),
+        eff.alias("effective_diameter"),
+    )
+
+
+def effective_diameter_sql(
+    source_cte: str, max_t: int, q_num: int = 9, q_den: int = 10
+) -> str:
+    """The IDENTICAL pinned semantics for DuckDB — same unrolled
+    MATERIALIZED BFS prefix as ``harmonic_sql``, same exact-integer
+    threshold, same single pinned division."""
+    parts = _bfs_sql_parts(source_cte, max_t)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -289,14 +397,27 @@ def harmonic_sql(source_cte: str, max_t: int) -> str:
 , counts AS (
   SELECT node, dist, count(*) AS cnt
   FROM b{max_t} WHERE dist >= 1 GROUP BY node, dist
-), agg AS (
-  SELECT node, CAST(sum(cnt) AS BIGINT) AS reached,
-         CAST(sum(cnt * ({L} // dist)) AS BIGINT) AS hnum
-  FROM counts GROUP BY node
+), per_t AS (
+  SELECT dist, CAST(sum(cnt) AS BIGINT) AS pairs FROM counts GROUP BY dist
+), cum AS (
+  SELECT dist, pairs,
+         CAST(sum(pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs
+  FROM per_t
+), tot AS (
+  SELECT dist, pairs, cum_pairs, max(cum_pairs) OVER () AS total_pairs
+  FROM cum
+), sat AS (
+  SELECT * FROM tot
+  WHERE cum_pairs * {int(q_den)} >= total_pairs * {int(q_num)}
+  ORDER BY dist LIMIT 1
 )
-SELECT n.node,
-       coalesce(a.reached, 0)::BIGINT AS reached,
-       CAST(coalesce(a.hnum, 0) AS DOUBLE) / {float(L)} AS harmonic
-FROM nodes n LEFT JOIN agg a ON n.node = a.node
+SELECT total_pairs,
+       CAST(dist AS BIGINT) AS eff_at,
+       round(CAST(dist - 1 AS DOUBLE)
+             + CAST(total_pairs * {int(q_num)}
+                    - (cum_pairs - pairs) * {int(q_den)} AS DOUBLE)
+               / CAST(pairs * {int(q_den)} AS DOUBLE), 6)
+         AS effective_diameter
+FROM sat
 """
     )
