@@ -5437,6 +5437,71 @@ def _oracle_effective_diameter() -> str:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T106 (operators/pq.py): product-quantization ADC top-10 over
+    the embeddings table (corpus vec_id >= 5, queries < 5 — the T2
+    split). Codebooks trained on the deterministic bounded sample
+    (lowest ids, the IVF discipline); the oracle regenerates them
+    bit-identically with the shared numpy trainer and inlines the
+    sequential-fold luts, so the ADC chain agrees bit-for-bit."""
+    from warcsum_spark.operators.pq import ann_pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = train_pq_codebooks(corpus, m=4, k=16)
+    return ann_pq_topk(corpus, queries_df, cb, k_top=10)
+
+
+def _oracle_ann_pq(
+    sf_dir: str = "/root/testdata/sf0.01",
+    m: int = 4,
+    k: int = 16,
+    train_size: int = 4096,
+    k_top: int = 10,
+) -> str | None:
+    """DuckDB replica of ann_pq: codebooks regenerated with the shared
+    pure-numpy trainer on the same deterministic sample; query luts
+    computed by the same sequential fold and inlined as constants."""
+    import duckdb
+    import numpy as np
+
+    from warcsum_spark.operators.pq import _kmeans_l2, ann_pq_sql, pq_lut
+
+    pq_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(pq_path):
+        return None
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{pq_path}') WHERE vec_id >= 5 "
+        f"ORDER BY vec_id LIMIT {train_size}"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    cb = np.stack(
+        [
+            _kmeans_l2(X[:, j * dsub : (j + 1) * dsub], k, seed=42 + j)
+            for j in range(m)
+        ]
+    )
+    qrows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{pq_path}') "
+        f"WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    luts = {
+        int(r[0]): pq_lut(np.asarray(r[1], dtype=np.float64), cb)
+        for r in qrows
+    }
+    return ann_pq_sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "WHERE vec_id >= 5",
+        cb,
+        luts,
+        k_top=k_top,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5576,6 +5641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "unimax_budgets": q_unimax_budgets,
         "effective_diameter": q_effective_diameter,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -5924,6 +5990,9 @@ def oracle_sql() -> dict[str, str]:
     ivf = _oracle_ann_ivf()
     if ivf is not None:
         out["ann_ivf"] = ivf
+    apq = _oracle_ann_pq()
+    if apq is not None:
+        out["ann_pq"] = apq
     sem = _oracle_semdedup()
     if sem is not None:
         out["semdedup_docs"] = sem
@@ -5943,6 +6012,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         out["ann_ivf"] = ivf
     else:
         out.pop("ann_ivf", None)
+    apq = _oracle_ann_pq(sf_dir)
+    if apq is not None:
+        out["ann_pq"] = apq
+    else:
+        out.pop("ann_pq", None)
     sem = _oracle_semdedup(sf_dir)
     if sem is not None:
         out["semdedup_docs"] = sem
