@@ -115,6 +115,11 @@ HEADLINE = [
     "opic_importance",
     "bowtie_decomposition",
     "categorical_drift",
+    # round-5 late additions (post tier-freeze; tiers re-run after)
+    "mirror_hosts",
+    "unimax_budgets",
+    "effective_diameter",
+    "ann_pq",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
