@@ -245,12 +245,18 @@ def main() -> None:
             )
             for a in arts
         )
-    if len(json.dumps(compact)) > 1900:
+    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
         # never let the last line outgrow the driver's 2000-char stdout
-        # tail — per-query timings are the first thing to shed (they
-        # persist in headline_full.json either way)
-        compact.pop("queries")
-    print(json.dumps(compact))
+        # tail — shed per-query timings slowest-first until it fits (the
+        # full dict persists in headline_full.json either way), so the
+        # tail parser still sees the queries that dominate the total
+        ranked = sorted(times.items(), key=lambda kv: -kv[1])
+        keep = dict(ranked)
+        while keep and len(json.dumps(compact, separators=(",", ":"))) > 1900:
+            keep.pop(ranked[len(keep) - 1][0])
+            compact["queries"] = keep
+            compact["queries_omitted"] = len(times) - len(keep)
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
@@ -339,6 +345,10 @@ QUERY_PRIMARY_TABLE = {
     "opic_importance": "events",
     "bowtie_decomposition": "events",
     "categorical_drift": "documents",
+    "mirror_hosts": "documents",
+    "unimax_budgets": "documents",
+    "effective_diameter": "events",
+    "ann_pq": "embeddings",
 }
 
 
@@ -363,6 +373,12 @@ def run_scale_suite(base_dir: str, cpus: str) -> None:
     Writes BENCH/suite_scale.json and refreshes the marked section of
     BENCH/BASELINE.md; the default bench mode embeds the summary into
     its one-line JSON so BENCH_r{N}.json carries the evidence."""
+    missing = [n for n in HEADLINE if n not in QUERY_PRIMARY_TABLE]
+    if missing:
+        # fail BEFORE the multi-minute sweeps, not in the ratio math after
+        raise SystemExit(
+            f"HEADLINE queries missing a QUERY_PRIMARY_TABLE row: {missing}"
+        )
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, os.path.join(repo, "tools"))
     from gen_scale import generate_scaled
