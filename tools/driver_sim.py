@@ -16,7 +16,7 @@ caught BEFORE the driver runs:
 window (insurance for entries 51+, which only the tuple-compare gate
 otherwise sees). Prints one line per query and a final
 `SIM_FAILURES: n [...]`; exit code equals the failure count. Round-5
-baseline: 50/50 clean (94/94 with --all).
+baseline: 50/50 clean (121/121 with --all).
 """
 
 from __future__ import annotations
