@@ -2694,14 +2694,8 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_lpa() -> str:
     from warcsum_spark.operators.lpa import lpa_oracle_sql
 
-    return lpa_oracle_sql(
-        "SELECT (user_id % 8) * 10 + event_id % 10 AS src, "
-        "(user_id % 8) * 10 + CAST(floor(event_id / 10) AS BIGINT) % 10 AS dst "
-        "FROM events "
-        "UNION ALL SELECT (user_id % 8) * 10, (((user_id % 8) + 1) % 8) * 10 "
-        "FROM events WHERE event_id % 97 = 0",
-        iters=5,
-    )
+    # _LPA_EDGES_SQL (defined beside T107, which scores this graph)
+    return lpa_oracle_sql(_LPA_EDGES_SQL, iters=5)
 
 
 def q_permute_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5502,6 +5496,49 @@ def _oracle_ann_pq(
     )
 
 
+# T61/T107's shared graph — 8 dense groups + sparse bridges; T107's
+# modularity row gates the composed LPA→Q chain end to end
+_LPA_EDGES_SQL = (
+    "SELECT (user_id % 8) * 10 + event_id % 10 AS src, "
+    "(user_id % 8) * 10 + CAST(floor(event_id / 10) AS BIGINT) % 10 AS dst "
+    "FROM events "
+    "UNION ALL SELECT (user_id % 8) * 10, (((user_id % 8) + 1) % 8) * 10 "
+    "FROM events WHERE event_id % 97 = 0"
+)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T107 (operators/modularity.py): Newman modularity of the T61
+    LPA communities over the same clustered graph — the composed
+    detect-then-score chain a crawl-QA run executes, gated as one
+    hash row (exact-integer sums, ONE pinned division)."""
+    from warcsum_spark.operators.lpa import label_propagation
+    from warcsum_spark.operators.modularity import modularity
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 8
+    intra = ev.select(
+        (g * 10 + F.col("event_id") % 10).alias("src"),
+        (g * 10 + (F.col("event_id") / 10).cast("long") % 10).alias("dst"),
+    )
+    bridges = ev.filter(F.col("event_id") % 97 == 0).select(
+        (g * 10).alias("src"),
+        (((g + 1) % 8) * 10).alias("dst"),
+    )
+    edges = intra.unionByName(bridges)
+    return modularity(edges, label_propagation(edges, iters=5))
+
+
+def _oracle_modularity() -> str:
+    from warcsum_spark.operators.lpa import lpa_oracle_sql
+    from warcsum_spark.operators.modularity import modularity_sql
+
+    return modularity_sql(
+        _LPA_EDGES_SQL,
+        lpa_oracle_sql(_LPA_EDGES_SQL, iters=5),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5642,6 +5679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_budgets": q_unimax_budgets,
         "effective_diameter": q_effective_diameter,
         "ann_pq": q_ann_pq,
+        "modularity_links": q_modularity,
     }
 
 
@@ -5986,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _oracle_mirror_hosts(),
         "unimax_budgets": _oracle_unimax(),
         "effective_diameter": _oracle_effective_diameter(),
+        "modularity_links": _oracle_modularity(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -120,6 +120,7 @@ HEADLINE = [
     "unimax_budgets",
     "effective_diameter",
     "ann_pq",
+    "modularity_links",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -349,6 +350,7 @@ QUERY_PRIMARY_TABLE = {
     "unimax_budgets": "documents",
     "effective_diameter": "events",
     "ann_pq": "embeddings",
+    "modularity_links": "events",
 }
 
 
