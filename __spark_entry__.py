@@ -5539,6 +5539,52 @@ def _oracle_modularity() -> str:
     )
 
 
+def q_freshness_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T108 (operators/freshness.py): expected freshness/age of the
+    corpus under uniform vs proportional revisit at 500 fetches/day,
+    with the per-URL Poisson rates estimated by T96's bias-corrected
+    MLE over the same synthesized fetch history — the composed
+    estimate-then-score chain, gated as one hash row. The hot/static
+    URL mix the history synthesizes puts the two policies measurably
+    apart (the TODS 2003 Thm 4.1 ordering)."""
+    from warcsum_spark.operators.freshness import freshness_policy
+    from warcsum_spark.operators.recrawl import change_rate_mle
+
+    ev = _t(spark, sf_dir, "events")
+    history = ev.select(
+        F.concat(
+            F.lit("http://s"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".test/p/"),
+            (F.col("user_id") % 97).cast("string"),
+        ).alias("url"),
+        F.col("ts"),
+        F.md5(
+            ((F.floor("value").cast("int")) % 4).cast("string")
+        ).alias("digest"),
+        F.col("event_id"),
+    )
+    rates = change_rate_mle(history, tiebreak_col="event_id")
+    return freshness_policy(rates, budget_per_day=500.0)
+
+
+def _oracle_freshness() -> str:
+    from warcsum_spark.operators.freshness import freshness_policy_sql
+    from warcsum_spark.operators.recrawl import change_rate_sql
+
+    rates = change_rate_sql(
+        """hist AS (
+  SELECT 'http://s' || CAST(user_id % 20 AS VARCHAR) || '.test/p/'
+           || CAST(user_id % 97 AS VARCHAR) AS url,
+         ts,
+         md5(CAST(CAST(floor(value) AS INT) % 4 AS VARCHAR)) AS digest,
+         event_id
+  FROM events
+)"""
+    )
+    return freshness_policy_sql(rates, budget_per_day=500.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5680,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "ann_pq": q_ann_pq,
         "modularity_links": q_modularity,
+        "freshness_policy": q_freshness_policy,
     }
 
 
@@ -6025,6 +6072,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_budgets": _oracle_unimax(),
         "effective_diameter": _oracle_effective_diameter(),
         "modularity_links": _oracle_modularity(),
+        "freshness_policy": _oracle_freshness(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

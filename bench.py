@@ -121,6 +121,7 @@ HEADLINE = [
     "effective_diameter",
     "ann_pq",
     "modularity_links",
+    "freshness_policy",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -351,6 +352,7 @@ QUERY_PRIMARY_TABLE = {
     "effective_diameter": "events",
     "ann_pq": "embeddings",
     "modularity_links": "events",
+    "freshness_policy": "events",
 }
 
 
