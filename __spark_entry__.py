@@ -5585,6 +5585,24 @@ def _oracle_freshness() -> str:
     return freshness_policy_sql(rates, budget_per_day=500.0)
 
 
+def q_wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T109 (operators/wand.py): the WAND/MaxScore pruning sidecar —
+    per-term BM25 upper bounds (Lucene idf, T69's tokenizer/constants)
+    over the documents corpus, terms with df >= 3."""
+    from warcsum_spark.operators.wand import wand_upper_bounds
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wand_upper_bounds(docs, min_df=3)
+
+
+def _oracle_wand() -> str:
+    from warcsum_spark.operators.wand import wand_upper_bounds_sql
+
+    return wand_upper_bounds_sql(
+        "SELECT doc_id, text FROM documents", min_df=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5727,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "modularity_links": q_modularity,
         "freshness_policy": q_freshness_policy,
+        "wand_bounds": q_wand_bounds,
     }
 
 
@@ -6073,6 +6092,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _oracle_effective_diameter(),
         "modularity_links": _oracle_modularity(),
         "freshness_policy": _oracle_freshness(),
+        "wand_bounds": _oracle_wand(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

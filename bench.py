@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_pq",
     "modularity_links",
     "freshness_policy",
+    "wand_bounds",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -353,6 +354,7 @@ QUERY_PRIMARY_TABLE = {
     "ann_pq": "embeddings",
     "modularity_links": "events",
     "freshness_policy": "events",
+    "wand_bounds": "documents",
 }
 
 
