@@ -5603,6 +5603,28 @@ def _oracle_wand() -> str:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T110 (operators/bpe.py::tokenizer_fertility): per-language
+    tokenizer fertility + bytes/chars per token over the documents
+    table, encoded with T87's fixed trained merge table — the
+    multilingual tokenizer diagnostic a mixing recipe (T20/T104)
+    consumes to convert document budgets into token budgets."""
+    from warcsum_spark.operators.bpe import tokenizer_fertility
+
+    return tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), _BPE_ENC_MERGES
+    )
+
+
+def _oracle_tokenizer_fertility() -> str:
+    from warcsum_spark.operators.bpe import tokenizer_fertility_sql
+
+    return tokenizer_fertility_sql(
+        "src AS (SELECT doc_id, text, lang FROM documents)",
+        _BPE_ENC_MERGES,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5746,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_links": q_modularity,
         "freshness_policy": q_freshness_policy,
         "wand_bounds": q_wand_bounds,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -6093,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_links": _oracle_modularity(),
         "freshness_policy": _oracle_freshness(),
         "wand_bounds": _oracle_wand(),
+        "tokenizer_fertility": _oracle_tokenizer_fertility(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

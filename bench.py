@@ -123,6 +123,7 @@ HEADLINE = [
     "modularity_links",
     "freshness_policy",
     "wand_bounds",
+    "tokenizer_fertility",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -355,6 +356,7 @@ QUERY_PRIMARY_TABLE = {
     "modularity_links": "events",
     "freshness_policy": "events",
     "wand_bounds": "documents",
+    "tokenizer_fertility": "documents",
 }
 
 

@@ -345,3 +345,123 @@ def encode_words(
         return col.map(one)
 
     return words.withColumn("subwords", seg(F.col(word_col)))
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lowercase: bool = True,
+) -> DataFrame:
+    """T110 — per-language tokenizer fertility and compression (Rust,
+    Pfeiffer, Vulić, Ruder & Gurevych, ACL 2021, "How Good is Your
+    Tokenizer?" — fertility = subword tokens per word, THE standard
+    diagnostic for how well a tokenizer's merge table serves each
+    language; Scao et al. 2022 (BLOOM) report the byte-level variant
+    as bytes/token). A multilingual pretraining recipe reads this
+    table before fixing the tokenizer: a language with fertility 2×
+    another's pays 2× the context window for the same text, and
+    UniMax/temperature mixing (T104/T20) budgets in TOKENS, so the
+    fertility table converts their document budgets into real cost.
+
+    Per language: (lang, n_docs, n_words, n_tokens, fertility,
+    bytes_per_token, chars_per_token) where bytes/chars count the RAW
+    text column (whitespace included — the storage-cost view; the
+    word-level view is fertility itself). Sums are exact
+    DECIMAL(38,0) accumulations of per-doc integers; each metric is
+    ONE pinned division rounded to 6; zero-word languages yield NULL
+    metrics (no claim, the T96 discipline).
+
+    Plan shape: rides encode_corpus verbatim (distinct word types
+    encoded once by the Arrow kernel, hash-joined back — the corpus
+    exchange count does not grow), then one lang-keyed map-side-
+    combinable aggregate over per-doc slim rows. Text bytes never
+    shuffle; the output is dimension-sized (one row per language).
+    """
+    enc = encode_corpus(
+        docs, merges, text_col=text_col, id_col=id_col, lowercase=lowercase
+    )
+    sizes = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.octet_length(text_col).cast("long").alias("_bytes"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    dec = "decimal(38,0)"
+    agg = (
+        sizes.join(enc, id_col)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words").cast(dec)).alias("s_w"),
+            F.sum(F.col("n_tokens").cast(dec)).alias("s_t"),
+            F.sum(F.col("_bytes").cast(dec)).alias("s_b"),
+            F.sum(F.col("_chars").cast(dec)).alias("s_c"),
+        )
+    )
+    def _ratio(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.round(
+                F.col(num).cast("double") / F.col(den).cast("double"), 6
+            ),
+        )
+
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("s_w").cast("long").alias("n_words"),
+        F.col("s_t").cast("long").alias("n_tokens"),
+        _ratio("s_t", "s_w").alias("fertility"),
+        _ratio("s_b", "s_t").alias("bytes_per_token"),
+        _ratio("s_c", "s_t").alias("chars_per_token"),
+    )
+
+
+def tokenizer_fertility_sql(
+    source_cte: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lowercase: bool = True,
+) -> str:
+    """The IDENTICAL pinned metrics for DuckDB, composed over
+    bpe_encode_sql (same merge replay, same encode). ``source_cte``
+    must define ``src(<id_col>, text, <lang_col>)``."""
+    enc = bpe_encode_sql(source_cte, merges, id_col=id_col,
+                         lowercase=lowercase)
+    return f"""
+WITH enc AS MATERIALIZED ({enc}),
+{source_cte},
+sizes AS (
+  SELECT {id_col}, {lang_col} AS lang,
+         -- strlen = UTF-8 bytes in DuckDB (octet_length is BLOB-only);
+         -- matches Spark's octet_length(VARCHAR)
+         CAST(strlen(text) AS HUGEINT) AS b,
+         CAST(length(text) AS HUGEINT) AS c
+  FROM src
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(CAST(n_words AS HUGEINT)) AS s_w,
+         sum(CAST(n_tokens AS HUGEINT)) AS s_t,
+         sum(b) AS s_b,
+         sum(c) AS s_c
+  FROM sizes JOIN enc USING ({id_col})
+  GROUP BY lang
+)
+SELECT lang, n_docs,
+  CAST(s_w AS BIGINT) AS n_words,
+  CAST(s_t AS BIGINT) AS n_tokens,
+  CASE WHEN s_w > 0
+       THEN round(CAST(s_t AS DOUBLE) / CAST(s_w AS DOUBLE), 6)
+  END AS fertility,
+  CASE WHEN s_t > 0
+       THEN round(CAST(s_b AS DOUBLE) / CAST(s_t AS DOUBLE), 6)
+  END AS bytes_per_token,
+  CASE WHEN s_t > 0
+       THEN round(CAST(s_c AS DOUBLE) / CAST(s_t AS DOUBLE), 6)
+  END AS chars_per_token
+FROM agg
+"""
