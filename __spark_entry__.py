@@ -5625,6 +5625,33 @@ def _oracle_tokenizer_fertility() -> str:
     )
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T111 (operators/salsa.py): SALSA hubs/authorities by the
+    Lempel–Moran closed form over a deterministic three-block link
+    graph (blocks are disjoint mod-3 id ranges, so the component
+    weighting path runs; in-block fan-in skew exercises the degree
+    ratios)."""
+    from warcsum_spark.operators.salsa import salsa
+
+    ev = _t(spark, sf_dir, "events")
+    block = (F.col("user_id") % 3) * 100
+    edges = ev.select(
+        (block + F.col("user_id") % 40).alias("src"),
+        (block + (F.col("event_id") % 53) % 40).alias("dst"),
+    )
+    return salsa(edges)
+
+
+def _oracle_salsa() -> str:
+    from warcsum_spark.operators.salsa import salsa_sql
+
+    return salsa_sql(
+        "SELECT (user_id % 3) * 100 + user_id % 40 AS src, "
+        "(user_id % 3) * 100 + (event_id % 53) % 40 AS dst "
+        "FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5769,6 +5796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_policy": q_freshness_policy,
         "wand_bounds": q_wand_bounds,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "salsa_links": q_salsa,
     }
 
 
@@ -6117,6 +6145,7 @@ def oracle_sql() -> dict[str, str]:
         "freshness_policy": _oracle_freshness(),
         "wand_bounds": _oracle_wand(),
         "tokenizer_fertility": _oracle_tokenizer_fertility(),
+        "salsa_links": _oracle_salsa(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

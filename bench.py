@@ -124,6 +124,7 @@ HEADLINE = [
     "freshness_policy",
     "wand_bounds",
     "tokenizer_fertility",
+    "salsa_links",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -357,6 +358,7 @@ QUERY_PRIMARY_TABLE = {
     "freshness_policy": "events",
     "wand_bounds": "documents",
     "tokenizer_fertility": "documents",
+    "salsa_links": "events",
 }
 
 
