@@ -5652,6 +5652,36 @@ def _oracle_salsa() -> str:
     )
 
 
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T112 (operators/lm_score.py::moore_lewis): cross-entropy data
+    selection — the English slice is the in-domain corpus, the whole
+    documents table the general corpus; same vocab/alpha as T39 so
+    the in-domain LM IS the T39 model (pinned in pytest)."""
+    from warcsum_spark.operators.lm_score import moore_lewis
+
+    return moore_lewis(
+        _t(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        vocab_size=100,
+        alpha=0.1,
+        threshold=0.0,
+    )
+
+
+def _oracle_moore_lewis() -> str:
+    from warcsum_spark.operators.lm_score import moore_lewis_sql
+
+    return moore_lewis_sql(
+        r"""SELECT doc_id,
+      trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t,
+      lang = 'en' AS is_ref
+    FROM documents""",
+        vocab_size=100,
+        alpha=0.1,
+        threshold=0.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5797,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bounds": q_wand_bounds,
         "tokenizer_fertility": q_tokenizer_fertility,
         "salsa_links": q_salsa,
+        "moore_lewis_select": q_moore_lewis,
     }
 
 
@@ -6146,6 +6177,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_bounds": _oracle_wand(),
         "tokenizer_fertility": _oracle_tokenizer_fertility(),
         "salsa_links": _oracle_salsa(),
+        "moore_lewis_select": _oracle_moore_lewis(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

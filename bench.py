@@ -125,6 +125,7 @@ HEADLINE = [
     "wand_bounds",
     "tokenizer_fertility",
     "salsa_links",
+    "moore_lewis_select",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -359,6 +360,7 @@ QUERY_PRIMARY_TABLE = {
     "wand_bounds": "documents",
     "tokenizer_fertility": "documents",
     "salsa_links": "events",
+    "moore_lewis_select": "documents",
 }
 
 

@@ -237,3 +237,176 @@ def lm_perplexity(
             F.round(F.exp(-F.col("avg_logprob")), 6).alias("perplexity"),
         )
     )
+
+
+def moore_lewis(
+    docs: DataFrame,
+    in_domain_pred: Column,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    alpha: float = 0.1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """T112 — Moore–Lewis cross-entropy data selection (Moore & Lewis,
+    ACL 2010, "Intelligent selection of language model training data"
+    — THE classic recipe, still the baseline every data-selection
+    paper compares against and the ancestor of CCNet's perplexity
+    buckets (T78) and DSIR (T40)): score each document by
+
+        ml_score = H_in(d) - H_gen(d)
+                 = avg_logprob_gen(d) - avg_logprob_in(d)
+
+    the difference between its cross-entropy under an IN-DOMAIN LM
+    and under a GENERAL-corpus LM; low scores are documents that look
+    like the target domain *specifically* (not merely fluent — the
+    general model cancels generic fluency, the paper's whole point).
+    ``selected`` = rounded score <= ``threshold`` (paper convention).
+
+    Both LMs are T39's pinned add-alpha bigram model and SHARE one
+    vocabulary, trained on the in-domain slice (Moore & Lewis §3 use a
+    common vocab so OOV mass cancels between the models). Pinning
+    discipline is T39's: raw doubles through the sums, round-6 at the
+    output only; ``ml_score`` is rounded from the RAW average
+    difference (not from the two displayed round-6 columns), and
+    ``selected`` tests the ROUNDED score so the flag is engine-exact.
+    Docs with < 2 tokens score NULL and are never selected.
+
+    Plan shape at 100 TB — the dsir.py/fused-T39 discipline: the
+    corpus bigram stream is extracted and vocab-mapped ONCE; one
+    (doc, is_ref, v, w) aggregate feeds BOTH models as conditional
+    sums (in-domain = sum where is_ref, general = sum of all) and the
+    per-doc scoring stream — reference membership is folded into the
+    aggregate instead of a filter so Catalyst shares the Exchange;
+    both models are vocab²-bounded broadcast tables; one doc-keyed
+    aggregate closes the plan.
+    """
+    keyed = docs.filter(F.col(doc_col).isNotNull()).withColumn(
+        "_is_ref", F.coalesce(in_domain_pred.cast("boolean"), F.lit(False))
+    )
+    vocab = lm_vocab(keyed.filter(F.col("_is_ref")), text_col, vocab_size)
+    bg = _bigram_stream(keyed, [doc_col, "_is_ref"], text_col)
+    bg = _map_vocab(_map_vocab(bg, vocab, "v"), vocab, "w")
+    g = bg.groupBy(doc_col, "_is_ref", "v", "w").agg(
+        F.count("*").alias("_n")
+    )
+    # conditional sums, NOT filters on the grouping column (see
+    # lm_perplexity: a filter would split the shared Exchange)
+    models = g.groupBy("v", "w").agg(
+        F.sum(
+            F.when(F.col("_is_ref"), F.col("_n")).otherwise(F.lit(0))
+        ).alias("c_in"),
+        F.sum("_n").alias("c_gen"),
+    )
+    models = models.withColumn(
+        "cv_in", F.sum("c_in").over(Window.partitionBy("v"))
+    ).withColumn("cv_gen", F.sum("c_gen").over(Window.partitionBy("v")))
+    denom_add = F.lit(alpha * (vocab_size + 1))
+
+    def _lp(c, cv):
+        return F.log(
+            (F.coalesce(F.col(c), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col(cv), F.lit(0)) + denom_add)
+        )
+
+    scored = (
+        g.drop("_is_ref")
+        .join(F.broadcast(models), ["v", "w"], "left")
+        .select(
+            doc_col,
+            "_n",
+            _lp("c_in", "cv_in").alias("_lp_in"),
+            _lp("c_gen", "cv_gen").alias("_lp_gen"),
+        )
+    )
+    agg = scored.groupBy(doc_col).agg(
+        F.sum("_n").alias("n_bigrams"),
+        (F.sum(F.col("_lp_in") * F.col("_n")) / F.sum("_n")).alias("_ain"),
+        (F.sum(F.col("_lp_gen") * F.col("_n")) / F.sum("_n")).alias("_agn"),
+    )
+    score = F.round(F.col("_agn") - F.col("_ain"), 6)
+    spine = docs.select(doc_col)
+    return spine.join(agg, doc_col, "left").select(
+        doc_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round("_ain", 6).alias("avg_logprob_in"),
+        F.round("_agn", 6).alias("avg_logprob_gen"),
+        score.alias("ml_score"),
+        F.coalesce(
+            score <= F.lit(float(threshold)), F.lit(False)
+        ).alias("selected"),
+    )
+
+
+def moore_lewis_sql(
+    src_sql: str,
+    vocab_size: int = 10_000,
+    alpha: float = 0.1,
+    threshold: float = 0.0,
+) -> str:
+    """The IDENTICAL pinned model pair for DuckDB. ``src_sql`` yields
+    (doc_id, t, is_ref) with ``t`` already whitespace-normalized
+    lowercase text (the _LM_NORM_SQL contract) and ``is_ref`` the
+    in-domain membership flag."""
+    a = repr(float(alpha))
+    da = repr(float(alpha) * (int(vocab_size) + 1))
+    thr = repr(float(threshold))
+    return rf"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, t, is_ref FROM ({src_sql})
+), toks AS (
+  SELECT doc_id, is_ref,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS w
+  FROM src
+), ref_terms AS (
+  SELECT unnest(w) AS term FROM toks WHERE is_ref
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM ref_terms GROUP BY term
+  ) ORDER BY c DESC, term ASC LIMIT {int(vocab_size)}
+), bg_all AS (
+  SELECT doc_id, is_ref, bg[1] AS v0, bg[2] AS w0
+  FROM (
+    SELECT doc_id, is_ref,
+           unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS bg
+    FROM toks WHERE len(w) >= 2
+  )
+), bg_mapped AS (
+  SELECT doc_id, is_ref,
+         CASE WHEN v0 IN (SELECT term FROM vocab) THEN v0 ELSE '<unk>' END AS v,
+         CASE WHEN w0 IN (SELECT term FROM vocab) THEN w0 ELSE '<unk>' END AS w
+  FROM bg_all
+), models AS (
+  SELECT v, w,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_in,
+         count(*) AS c_gen
+  FROM bg_mapped GROUP BY v, w
+), ctx AS (
+  SELECT v, w, c_in, c_gen,
+         sum(c_in) OVER (PARTITION BY v) AS cv_in,
+         sum(c_gen) OVER (PARTITION BY v) AS cv_gen
+  FROM models
+), scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(m.c_in, 0) + {a}) / (coalesce(m.cv_in, 0) + {da}))
+           AS lp_in,
+         ln((coalesce(m.c_gen, 0) + {a}) / (coalesce(m.cv_gen, 0) + {da}))
+           AS lp_gen
+  FROM bg_mapped b
+  LEFT JOIN ctx m ON b.v = m.v AND b.w = m.w
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(lp_in) / count(*) AS ain,
+         sum(lp_gen) / count(*) AS agn
+  FROM scored GROUP BY doc_id
+)
+SELECT s.doc_id,
+  coalesce(a.n_bigrams, 0) AS n_bigrams,
+  round(a.ain, 6) AS avg_logprob_in,
+  round(a.agn, 6) AS avg_logprob_gen,
+  round(a.agn - a.ain, 6) AS ml_score,
+  coalesce(round(a.agn - a.ain, 6) <= {thr}, false) AS selected
+FROM (SELECT DISTINCT doc_id FROM src) s
+LEFT JOIN agg a ON a.doc_id = s.doc_id
+"""
