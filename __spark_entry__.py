@@ -5682,6 +5682,35 @@ def _oracle_moore_lewis() -> str:
     )
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T113 (operators/katz.py): Katz centrality — attenuated in-walk
+    counts as the complementary frontier-priority signal to T32
+    (Katz never divides by out-degree, so vote-splitting link farms
+    read differently). Same deterministic link graph as
+    `pagerank_links`, dangling nodes 40-49 included — they hold the
+    β base term with no special branch."""
+    from warcsum_spark.operators.katz import katz_centrality
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    kz = katz_centrality(edges, alpha=0.1, beta=1.0, iters=4)
+    return kz.select("node", F.round("katz", 8).alias("katz"))
+
+
+def _oracle_katz() -> str:
+    from warcsum_spark.operators.katz import katz_oracle_sql
+
+    return katz_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        alpha=0.1,
+        beta=1.0,
+        iters=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5828,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "salsa_links": q_salsa,
         "moore_lewis_select": q_moore_lewis,
+        "katz_links": q_katz,
     }
 
 
@@ -6178,6 +6208,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _oracle_tokenizer_fertility(),
         "salsa_links": _oracle_salsa(),
         "moore_lewis_select": _oracle_moore_lewis(),
+        "katz_links": _oracle_katz(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -126,6 +126,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "salsa_links",
     "moore_lewis_select",
+    "katz_links",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -361,6 +362,7 @@ QUERY_PRIMARY_TABLE = {
     "tokenizer_fertility": "documents",
     "salsa_links": "events",
     "moore_lewis_select": "documents",
+    "katz_links": "events",
 }
 
 
