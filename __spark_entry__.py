@@ -5711,6 +5711,33 @@ def _oracle_katz() -> str:
     )
 
 
+def q_qlm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T114 (operators/qlm.py): Dirichlet query-likelihood retrieval —
+    top-5 per query over the same query set as `bm25_search` (query 4
+    is the stopword-hot one; query 3's duplicate term exercises the
+    c(t,q) multiplicity path via the added (3, 'vector') repeat)."""
+    from warcsum_spark.operators.qlm import query_likelihood_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = spark.createDataFrame(
+        _QLM_QUERIES, "query_id long, term string"
+    )
+    return query_likelihood_search(
+        docs, queries_df, k=5, mu=2000.0, salt_buckets=8
+    )
+
+
+_QLM_QUERIES = _BM25_QUERIES + [(3, "vector")]
+
+
+def _oracle_qlm() -> str:
+    from warcsum_spark.operators.qlm import query_likelihood_sql
+
+    return query_likelihood_sql(
+        "SELECT doc_id, text FROM documents", _QLM_QUERIES, k=5, mu=2000.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5858,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_links": q_salsa,
         "moore_lewis_select": q_moore_lewis,
         "katz_links": q_katz,
+        "qlm_search": q_qlm_search,
     }
 
 
@@ -6209,6 +6237,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa_links": _oracle_salsa(),
         "moore_lewis_select": _oracle_moore_lewis(),
         "katz_links": _oracle_katz(),
+        "qlm_search": _oracle_qlm(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -127,6 +127,7 @@ HEADLINE = [
     "salsa_links",
     "moore_lewis_select",
     "katz_links",
+    "qlm_search",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -363,6 +364,7 @@ QUERY_PRIMARY_TABLE = {
     "salsa_links": "events",
     "moore_lewis_select": "documents",
     "katz_links": "events",
+    "qlm_search": "documents",
 }
 
 
