@@ -5738,6 +5738,35 @@ def _oracle_qlm() -> str:
     )
 
 
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T115 (operators/bbit.py): b-bit minwise hashing — the 32×
+    smaller stored-signature tier of T1's minhash index (b=2 of 64
+    bits kept), candidates from full-width LSH bands, verify on the
+    masked values with the Li–König collision correction. Same
+    near-dup corpus as `minhash_lsh_docs`; the oracle recomputes
+    mask + correction over the independent per-row reference."""
+    from warcsum_spark.operators.bbit import bbit_minhash_duplicates
+
+    return bbit_minhash_duplicates(
+        _docs_with_neardups(spark, sf_dir),
+        k=3,
+        num_hashes=64,
+        bands=16,
+        b=2,
+        threshold=0.4,
+    )
+
+
+def _oracle_bbit(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from warcsum_spark.operators.bbit import bbit_oracle_sql
+    from warcsum_spark.oracle_refs import materialize_minhash_oracle
+
+    sig_path, band_path = materialize_minhash_oracle(sf_dir)
+    return bbit_oracle_sql(
+        sig_path, band_path, num_hashes=64, b=2, threshold=0.4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5886,6 +5915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moore_lewis_select": q_moore_lewis,
         "katz_links": q_katz,
         "qlm_search": q_qlm_search,
+        "bbit_minhash_docs": q_bbit_minhash,
     }
 
 
@@ -6238,6 +6268,7 @@ def oracle_sql() -> dict[str, str]:
         "moore_lewis_select": _oracle_moore_lewis(),
         "katz_links": _oracle_katz(),
         "qlm_search": _oracle_qlm(),
+        "bbit_minhash_docs": _oracle_bbit(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

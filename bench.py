@@ -128,6 +128,7 @@ HEADLINE = [
     "moore_lewis_select",
     "katz_links",
     "qlm_search",
+    "bbit_minhash_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -365,6 +366,7 @@ QUERY_PRIMARY_TABLE = {
     "moore_lewis_select": "documents",
     "katz_links": "events",
     "qlm_search": "documents",
+    "bbit_minhash_docs": "documents",
 }
 
 
