@@ -5767,6 +5767,41 @@ def _oracle_bbit(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T116 (operators/cdc.py): content-defined chunking (windowed
+    Gear + FastCDC two-mask rule) and the chunk-level storage-dedup
+    ledger over the near-dup corpus — the perturbed-tail copies share
+    every chunk except the tail, so real cross-document savings are
+    exercised. The oracle groups the INDEPENDENT byte-at-a-time
+    reference's materialized chunks in plain SQL."""
+    from warcsum_spark.operators.cdc import cdc_dedup_accounting
+
+    return cdc_dedup_accounting(
+        _docs_with_neardups(spark, sf_dir),
+        min_size=32,
+        normal_size=128,
+        max_size=512,
+        min_copies=2,
+    )
+
+
+def _oracle_cdc(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from warcsum_spark.oracle_refs import materialize_cdc_oracle
+
+    path = materialize_cdc_oracle(
+        sf_dir, min_size=32, normal_size=128, max_size=512
+    )
+    return f"""
+SELECT chunk_hash,
+       max(length) AS chunk_len,
+       count(*) AS n_copies,
+       (count(*) - 1) * max(length) AS saved_bytes
+FROM read_parquet('{path}')
+GROUP BY chunk_hash
+HAVING count(*) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5916,6 +5951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_links": q_katz,
         "qlm_search": q_qlm_search,
         "bbit_minhash_docs": q_bbit_minhash,
+        "cdc_dedup_docs": q_cdc_dedup,
     }
 
 
@@ -6269,6 +6305,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_links": _oracle_katz(),
         "qlm_search": _oracle_qlm(),
         "bbit_minhash_docs": _oracle_bbit(),
+        "cdc_dedup_docs": _oracle_cdc(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

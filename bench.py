@@ -129,6 +129,7 @@ HEADLINE = [
     "katz_links",
     "qlm_search",
     "bbit_minhash_docs",
+    "cdc_dedup_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -367,6 +368,7 @@ QUERY_PRIMARY_TABLE = {
     "katz_links": "events",
     "qlm_search": "documents",
     "bbit_minhash_docs": "documents",
+    "cdc_dedup_docs": "documents",
 }
 
 

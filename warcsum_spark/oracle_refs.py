@@ -456,3 +456,101 @@ def materialize_byte_entropy_oracle(sf_dir: str) -> str:
     pq.write_table(out, path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking reference (plain-int Gear recurrence, per row)
+# ---------------------------------------------------------------------------
+
+
+def ref_cdc_doc(
+    text: str | None,
+    min_size: int = 32,
+    normal_size: int = 128,
+    max_size: int = 512,
+) -> list[tuple[int, int, str]] | None:
+    """(offset, length, md5 hex) chunks for one document — the classic
+    byte-at-a-time Gear recurrence H ← (H<<1) + gear[b] mod 2^64 with a
+    direct sequential walk of FastCDC's two-mask cut rule. The engine
+    (operators/cdc.py) computes the same windowed hash as 64 shifted
+    adds over flattened Arrow buffers and walks precomputed mask-hit
+    lists; here nothing is vectorized, so offset/segment bugs in the
+    kernel cannot be mirrored."""
+    import hashlib
+
+    from warcsum_spark.operators.cdc import _GEAR, _masks
+
+    if text is None:
+        return None
+    b = text.encode("utf-8")
+    n = len(b)
+    if n == 0:
+        return []
+    mask_s, mask_l = _masks(normal_size)
+    gear = [int(x) for x in _GEAR[:256]]
+    u64 = (1 << 64) - 1
+    hs = [0] * (n + 1)
+    h = 0
+    for p in range(n):
+        h = ((h << 1) + gear[b[p]]) & u64
+        hs[p + 1] = h
+    chunks = []
+    start = 0
+    while start < n:
+        end = min(start + max_size, n)
+        cut = end
+        p = start + min_size
+        while p < end:
+            if p < start + normal_size:
+                if hs[p] & mask_s == 0:
+                    cut = p
+                    break
+            elif hs[p] & mask_l == 0:
+                cut = p
+                break
+            p += 1
+        chunks.append(
+            (start, cut - start, hashlib.md5(b[start:cut]).hexdigest())
+        )
+        start = cut
+    return chunks
+
+
+def materialize_cdc_oracle(
+    sf_dir: str,
+    min_size: int = 32,
+    normal_size: int = 128,
+    max_size: int = 512,
+) -> str:
+    """Run ref_cdc_doc over the near-dup corpus of ``sf_dir`` and write
+    one parquet of (doc_id, chunk_id, offset, length, chunk_hash).
+    Cached on the source parquet's (size, mtime) like the minhash
+    reference."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = _cache_key(sf_dir, f"cdc_{min_size}_{normal_size}_{max_size}")
+    path = os.path.join(CACHE_DIR, key + "_chunks.parquet")
+    if os.path.exists(path):
+        return path
+    doc_ids, chunk_ids, offsets, lengths, hashes = [], [], [], [], []
+    for doc_id, text in _neardup_corpus(sf_dir):
+        res = ref_cdc_doc(text, min_size, normal_size, max_size)
+        if res is None:
+            continue
+        for cid, (off, ln, hx) in enumerate(res):
+            doc_ids.append(doc_id)
+            chunk_ids.append(cid)
+            offsets.append(off)
+            lengths.append(ln)
+            hashes.append(hx)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "chunk_id": pa.array(chunk_ids, type=pa.int64()),
+            "offset": pa.array(offsets, type=pa.int64()),
+            "length": pa.array(lengths, type=pa.int64()),
+            "chunk_hash": pa.array(hashes, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
