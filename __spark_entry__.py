@@ -5802,6 +5802,36 @@ HAVING count(*) >= 2
 """
 
 
+def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T117 (operators/powerlaw.py): Clauset–Shalizi–Newman power-law
+    fit of the in-degree distribution on a deterministic heavy-tailed
+    graph (dst = 10000/(event_id%997+1) — a hyperbolic map, so low ids
+    soak up fan-in like real hubs do). Scaled-integer ln sums keep the
+    MLE engine-exact; KS is evaluated on the distinct-degree
+    histogram."""
+    from warcsum_spark.operators.powerlaw import indegree_powerlaw
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.floor(F.lit(10000) / (F.col("event_id") % 997 + 1))
+        .cast("long")
+        .alias("dst"),
+    )
+    return indegree_powerlaw(edges, xmin=2)
+
+
+def _oracle_powerlaw() -> str:
+    from warcsum_spark.operators.powerlaw import indegree_powerlaw_sql
+
+    return indegree_powerlaw_sql(
+        "SELECT user_id AS src, "
+        "CAST(floor(10000 / (event_id % 997 + 1)) AS BIGINT) AS dst "
+        "FROM events",
+        xmin=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's first-50 correctness window carries the
     entries that most need a fresh hard-signal row: the two flagships,
@@ -5952,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_search": q_qlm_search,
         "bbit_minhash_docs": q_bbit_minhash,
         "cdc_dedup_docs": q_cdc_dedup,
+        "indegree_powerlaw": q_powerlaw,
     }
 
 
@@ -6306,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "qlm_search": _oracle_qlm(),
         "bbit_minhash_docs": _oracle_bbit(),
         "cdc_dedup_docs": _oracle_cdc(),
+        "indegree_powerlaw": _oracle_powerlaw(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -130,6 +130,7 @@ HEADLINE = [
     "qlm_search",
     "bbit_minhash_docs",
     "cdc_dedup_docs",
+    "indegree_powerlaw",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -369,6 +370,7 @@ QUERY_PRIMARY_TABLE = {
     "qlm_search": "documents",
     "bbit_minhash_docs": "documents",
     "cdc_dedup_docs": "documents",
+    "indegree_powerlaw": "events",
 }
 
 
