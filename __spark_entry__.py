@@ -6385,4 +6385,6 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["bpe_merges"] = _oracle_bpe(sf_dir)
     out["dsir_scores_xx"] = _oracle_dsir_xx(sf_dir)
     out["entropy_docs_bytes"] = _oracle_entropy_bytes(sf_dir)
+    out["bbit_minhash_docs"] = _oracle_bbit(sf_dir)
+    out["cdc_dedup_docs"] = _oracle_cdc(sf_dir)
     return out
