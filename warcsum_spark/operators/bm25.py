@@ -59,10 +59,17 @@ def _tokens_with_len(
     words = F.when(
         norm == "", F.array().cast("array<string>")
     ).otherwise(F.split(norm, " "))
-    return docs.select(
+    # Materialize the token array in a projection BELOW the Generate:
+    # sibling expressions of an explode land in a Project ABOVE it and
+    # are evaluated per OUTPUT row, so size() over the raw words
+    # expression re-runs regexp_replace+split once per token — O(len²)
+    # per document. With the array as a child attribute, the regex runs
+    # once per doc and the per-token size() is an O(1) length read.
+    arr = docs.select(F.col(id_col), words.alias("_w"))
+    return arr.select(
         F.col(id_col),
-        F.size(words).cast("long").alias("doclen"),
-        F.explode(words).alias("term"),
+        F.size("_w").cast("long").alias("doclen"),
+        F.explode("_w").alias("term"),
     )
 
 

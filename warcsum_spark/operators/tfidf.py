@@ -43,10 +43,13 @@ def term_counts(
     from warcsum_spark.functions.repetition import _norm_words
 
     words = _norm_words(F.lower(F.col(text_col)))
-    staged = df.select(
+    # token array materialized below the Generate — a sibling size(words)
+    # would re-run the whole normalize+split per token row (O(len²)/doc);
+    # see bm25._tokens_with_len for the full note.
+    staged = df.select(doc_col, words.alias("_w")).select(
         doc_col,
-        F.explode(words).alias("term"),
-        F.size(words).alias("n_words"),
+        F.explode("_w").alias("term"),
+        F.size("_w").alias("n_words"),
     )
     return staged.groupBy(doc_col, "term", "n_words").agg(
         F.count("*").alias("tc")
