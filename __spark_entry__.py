@@ -5767,6 +5767,44 @@ def _oracle_bbit(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
 
 
+def q_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T118 (operators/editdist.py): exact edit-distance verification
+    of T1's LSH candidate pairs — LSH proposes, Levenshtein disposes
+    (the Ed-Join candidate-then-verify architecture). Same near-dup
+    corpus as `minhash_lsh_docs`; both engines gate to the ASCII
+    subset (octet_length = length, a no-op on this corpus) because
+    Spark's levenshtein counts codepoints and DuckDB's counts bytes —
+    identical exactly there. The oracle recomputes candidates from the
+    independent per-row minhash reference and the distance with
+    DuckDB's own levenshtein, so banding, estimate, distance, AND the
+    normalized-ratio gate are each cross-checked."""
+    from warcsum_spark.operators.editdist import edit_verified_duplicates
+
+    docs = _docs_with_neardups(spark, sf_dir).filter(
+        F.octet_length("text") == F.length("text")
+    )
+    return edit_verified_duplicates(
+        docs, k=3, num_hashes=64, bands=16, max_ratio=0.6
+    )
+
+
+def _oracle_edit_verified(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from warcsum_spark.operators.editdist import edit_verified_oracle_sql
+    from warcsum_spark.oracle_refs import materialize_minhash_oracle
+
+    sig_path, band_path = materialize_minhash_oracle(sf_dir)
+    corpus_sql = """
+  SELECT doc_id, text FROM documents WHERE strlen(text) = length(text)
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' perturbed tail token' AS text
+  FROM documents WHERE doc_id < 20 AND strlen(text) = length(text)
+"""
+    return edit_verified_oracle_sql(
+        sig_path, band_path, corpus_sql, num_hashes=64, max_ratio=0.6
+    )
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T116 (operators/cdc.py): content-defined chunking (windowed
     Gear + FastCDC two-mask rule) and the chunk-level storage-dedup
@@ -5988,6 +6026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_minhash_docs": q_bbit_minhash,
         "cdc_dedup_docs": q_cdc_dedup,
         "indegree_powerlaw": q_powerlaw,
+        "edit_verified_docs": q_edit_verified,
     }
 
 
@@ -6343,6 +6382,7 @@ def oracle_sql() -> dict[str, str]:
         "bbit_minhash_docs": _oracle_bbit(),
         "cdc_dedup_docs": _oracle_cdc(),
         "indegree_powerlaw": _oracle_powerlaw(),
+        "edit_verified_docs": _oracle_edit_verified(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
@@ -6387,4 +6427,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["entropy_docs_bytes"] = _oracle_entropy_bytes(sf_dir)
     out["bbit_minhash_docs"] = _oracle_bbit(sf_dir)
     out["cdc_dedup_docs"] = _oracle_cdc(sf_dir)
+    out["edit_verified_docs"] = _oracle_edit_verified(sf_dir)
     return out

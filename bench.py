@@ -131,6 +131,7 @@ HEADLINE = [
     "bbit_minhash_docs",
     "cdc_dedup_docs",
     "indegree_powerlaw",
+    "edit_verified_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -371,6 +372,7 @@ QUERY_PRIMARY_TABLE = {
     "bbit_minhash_docs": "documents",
     "cdc_dedup_docs": "documents",
     "indegree_powerlaw": "events",
+    "edit_verified_docs": "documents",
 }
 
 
