@@ -5805,6 +5805,64 @@ def _oracle_edit_verified(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
 
 
+def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T119 (operators/urlspam.py): Fetterly-style URL-shape spam
+    signals — population z-scores of per-host (mean length, digit
+    share, path depth) over URLs synthesized from events: 47 normal
+    hosts serve short template paths, 3 'spam' hosts serve long
+    digit-dense deep paths and must be the exactly-flagged outliers.
+    The oracle is the generated twin running the identical pinned
+    exact-integer arithmetic in DuckDB."""
+    from warcsum_spark.operators.urlspam import url_spam_signals
+
+    ev = _t(spark, sf_dir, "events")
+    hid = F.col("user_id") % 50
+    spam = hid >= 47
+    host = F.when(
+        spam, F.concat(F.lit("spam"), hid.cast("string"), F.lit(".test"))
+    ).otherwise(F.concat(F.lit("h"), hid.cast("string"), F.lit(".test")))
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.when(
+            spam,
+            F.concat(
+                F.lit("/"), (F.col("event_id") * 7919).cast("string"),
+                F.lit("/"), (F.col("event_id") * 104729).cast("string"),
+                F.lit("/x"), (F.col("event_id") % 97).cast("string"),
+                F.lit("/y"), (F.col("event_id") % 89).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("/p/"), (F.col("event_id") % 100).cast("string"))
+        ),
+    )
+    return url_spam_signals(
+        ev.select(host.alias("host"), url.alias("url")), z_thresh=2.0
+    )
+
+
+def _oracle_url_spam() -> str:
+    from warcsum_spark.operators.urlspam import url_spam_oracle_sql
+
+    host_sql = (
+        "CASE WHEN user_id % 50 >= 47 "
+        "THEN 'spam' || CAST(user_id % 50 AS VARCHAR) || '.test' "
+        "ELSE 'h' || CAST(user_id % 50 AS VARCHAR) || '.test' END"
+    )
+    urls_sql = f"""
+  SELECT {host_sql} AS host,
+         'http://' || ({host_sql})
+         || CASE WHEN user_id % 50 >= 47
+                 THEN '/' || CAST(event_id * 7919 AS VARCHAR)
+                      || '/' || CAST(event_id * 104729 AS VARCHAR)
+                      || '/x' || CAST(event_id % 97 AS VARCHAR)
+                      || '/y' || CAST(event_id % 89 AS VARCHAR)
+                 ELSE '/p/' || CAST(event_id % 100 AS VARCHAR) END AS url
+  FROM events
+"""
+    return url_spam_oracle_sql(urls_sql, z_thresh=2.0)
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T116 (operators/cdc.py): content-defined chunking (windowed
     Gear + FastCDC two-mask rule) and the chunk-level storage-dedup
@@ -6027,6 +6085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_docs": q_cdc_dedup,
         "indegree_powerlaw": q_powerlaw,
         "edit_verified_docs": q_edit_verified,
+        "url_spam_hosts": q_url_spam,
     }
 
 
@@ -6383,6 +6442,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_docs": _oracle_cdc(),
         "indegree_powerlaw": _oracle_powerlaw(),
         "edit_verified_docs": _oracle_edit_verified(),
+        "url_spam_hosts": _oracle_url_spam(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -132,6 +132,7 @@ HEADLINE = [
     "cdc_dedup_docs",
     "indegree_powerlaw",
     "edit_verified_docs",
+    "url_spam_hosts",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -373,6 +374,7 @@ QUERY_PRIMARY_TABLE = {
     "cdc_dedup_docs": "documents",
     "indegree_powerlaw": "events",
     "edit_verified_docs": "documents",
+    "url_spam_hosts": "events",
 }
 
 
