@@ -5863,6 +5863,32 @@ def _oracle_url_spam() -> str:
     return url_spam_oracle_sql(urls_sql, z_thresh=2.0)
 
 
+def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T120 (operators/bursts.py): Kleinberg 2-state burst detection
+    over per-host event streams (host = user_id mod 20). All-integer
+    outputs; the oracle aggregates the INDEPENDENT per-gap reference
+    trajectory (oracle_refs.ref_burst_states, materialized to
+    parquet) with gaps-and-islands SQL — DP trajectory and run
+    summarization cross-checked separately."""
+    from warcsum_spark.operators.bursts import kleinberg_bursts
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("u"), (F.col("user_id") % 20).cast("string")
+        ).alias("host"),
+        "ts",
+    )
+    return kleinberg_bursts(ev, s=2.0, gamma=1.0)
+
+
+def _oracle_bursts(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    from warcsum_spark.operators.bursts import burst_oracle_sql
+    from warcsum_spark.oracle_refs import materialize_burst_oracle
+
+    states_path, hosts_path = materialize_burst_oracle(sf_dir, n_hosts=20)
+    return burst_oracle_sql(states_path, hosts_path)
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T116 (operators/cdc.py): content-defined chunking (windowed
     Gear + FastCDC two-mask rule) and the chunk-level storage-dedup
@@ -6086,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indegree_powerlaw": q_powerlaw,
         "edit_verified_docs": q_edit_verified,
         "url_spam_hosts": q_url_spam,
+        "host_bursts": q_bursts,
     }
 
 
@@ -6443,6 +6470,7 @@ def oracle_sql() -> dict[str, str]:
         "indegree_powerlaw": _oracle_powerlaw(),
         "edit_verified_docs": _oracle_edit_verified(),
         "url_spam_hosts": _oracle_url_spam(),
+        "host_bursts": _oracle_bursts(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:
@@ -6488,4 +6516,5 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     out["bbit_minhash_docs"] = _oracle_bbit(sf_dir)
     out["cdc_dedup_docs"] = _oracle_cdc(sf_dir)
     out["edit_verified_docs"] = _oracle_edit_verified(sf_dir)
+    out["host_bursts"] = _oracle_bursts(sf_dir)
     return out

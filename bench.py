@@ -133,6 +133,7 @@ HEADLINE = [
     "indegree_powerlaw",
     "edit_verified_docs",
     "url_spam_hosts",
+    "host_bursts",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -375,6 +376,7 @@ QUERY_PRIMARY_TABLE = {
     "indegree_powerlaw": "events",
     "edit_verified_docs": "documents",
     "url_spam_hosts": "events",
+    "host_bursts": "events",
 }
 
 

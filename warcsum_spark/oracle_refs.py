@@ -554,3 +554,111 @@ def materialize_cdc_oracle(
     pq.write_table(tbl, path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# T120 — Kleinberg burst detection (independent per-host reference)
+# ---------------------------------------------------------------------------
+
+def ref_burst_states(ts_micros, s: float = 2.0, gamma: float = 1.0):
+    """Independent scalar-loop replica of the pinned 2-state Kleinberg
+    DP (operators/bursts.py module docstring) for ONE host: explicit
+    per-gap Viterbi with backpointers, scalar ops — the opposite code
+    shape of the engine's host-axis-vectorized kernel. Returns the
+    per-gap state list ([] for <2 events; all-zeros for the Σx=0 pin)."""
+    ts = sorted(int(t) for t in ts_micros)
+    if len(ts) < 2:
+        return []
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    m = len(gaps)
+    tot = sum(gaps)
+    if tot == 0:
+        return [0] * m
+    a0 = m / tot
+    a1 = s * a0
+    ln0 = float(np.round(np.log(a0), 9))
+    ln1 = float(np.round(np.log(a1), 9))
+    trans = float(np.round(gamma * np.log(m + 1.0), 9))
+
+    def c0(x):
+        return float(np.round(a0 * x - ln0, 9))
+
+    def c1(x):
+        return float(np.round(a1 * x - ln1, 9))
+
+    d0 = float(np.round(c0(gaps[0]), 9))
+    d1 = float(np.round(trans + c1(gaps[0]), 9))
+    ptr = []
+    for x in gaps[1:]:
+        from0_0 = d0 <= d1
+        from0_1 = (d0 + trans) <= d1
+        nd0 = float(np.round((d0 if from0_0 else d1) + c0(x), 9))
+        nd1 = float(np.round((d0 + trans if from0_1 else d1) + c1(x), 9))
+        ptr.append((0 if from0_0 else 1, 0 if from0_1 else 1))
+        d0, d1 = nd0, nd1
+    st = 0 if d0 <= d1 else 1
+    rev = [st]
+    for t in range(m - 1, 0, -1):
+        st = ptr[t - 1][st]
+        rev.append(st)
+    return rev[::-1]
+
+
+def materialize_burst_oracle(
+    sf_dir: str, n_hosts: int = 20, s: float = 2.0, gamma: float = 1.0
+) -> tuple[str, str]:
+    """Group events by host = 'u' || (user_id % n_hosts), run
+    ref_burst_states per host, and write two parquet files:
+    (host, idx, state) for every gap and (host, n_events, n_gaps)
+    for every host. Cached on events.parquet's (size, mtime)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    st_ = os.stat(src)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    key = f"burst_{n_hosts}_{s!r}_{gamma!r}_{sf_name}_{st_.st_size}_{int(st_.st_mtime)}"
+    states_path = os.path.join(CACHE_DIR, key + "_states.parquet")
+    hosts_path = os.path.join(CACHE_DIR, key + "_hosts.parquet")
+    if os.path.exists(states_path) and os.path.exists(hosts_path):
+        return states_path, hosts_path
+    tbl = pq.read_table(src, columns=["user_id", "ts"])
+    users = tbl.column("user_id").to_pylist()
+    # timestamp[us] → epoch-µs ints (pyarrow value semantics)
+    tss = tbl.column("ts").cast("int64").to_pylist()
+    per_host: dict[str, list[int]] = {}
+    for u, t in zip(users, tss):
+        per_host.setdefault(f"u{u % n_hosts}", []).append(t)
+    s_hosts, s_idx, s_state = [], [], []
+    h_hosts, h_nev, h_ngap = [], [], []
+    for host in sorted(per_host):
+        ts_list = per_host[host]
+        states = ref_burst_states(ts_list, s=s, gamma=gamma)
+        h_hosts.append(host)
+        h_nev.append(len(ts_list))
+        h_ngap.append(max(len(ts_list) - 1, 0))
+        for i, stv in enumerate(states):
+            s_hosts.append(host)
+            s_idx.append(i)
+            s_state.append(stv)
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(s_hosts, type=pa.string()),
+                "idx": pa.array(s_idx, type=pa.int64()),
+                "state": pa.array(s_state, type=pa.int64()),
+            }
+        ),
+        states_path + ".tmp",
+    )
+    os.replace(states_path + ".tmp", states_path)
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(h_hosts, type=pa.string()),
+                "n_events": pa.array(h_nev, type=pa.int64()),
+                "n_gaps": pa.array(h_ngap, type=pa.int64()),
+            }
+        ),
+        hosts_path + ".tmp",
+    )
+    os.replace(hosts_path + ".tmp", hosts_path)
+    return states_path, hosts_path
