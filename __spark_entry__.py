@@ -2661,6 +2661,35 @@ def _oracle_trustrank() -> str:
     )
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T121 (operators/pagerank.py::spam_mass): Gyöngyi link-spam
+    mass — PageRank minus TrustRank from the {0..4} good core over
+    the same link graph as `pagerank_links`/`trustrank_links`,
+    with the paper's relative-mass threshold flag. Oracle = the two
+    unrolled-CTE twins composed as derived tables."""
+    from warcsum_spark.operators.pagerank import spam_mass
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    seeds = spark.range(5).withColumnRenamed("id", "node")
+    return spam_mass(edges, seeds, damping=0.85, iters=4, rel_thresh=0.5)
+
+
+def _oracle_spam_mass() -> str:
+    from warcsum_spark.operators.pagerank import spam_mass_oracle_sql
+
+    return spam_mass_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        "SELECT * FROM (VALUES (0),(1),(2),(3),(4)) AS t(node)",
+        damping=0.85,
+        iters=4,
+        rel_thresh=0.5,
+    )
+
+
 def _oracle_pagerank() -> str:
     from warcsum_spark.operators.pagerank import pagerank_oracle_sql
 
@@ -6113,6 +6142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verified_docs": q_edit_verified,
         "url_spam_hosts": q_url_spam,
         "host_bursts": q_bursts,
+        "spam_mass_links": q_spam_mass,
     }
 
 
@@ -6471,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_verified_docs": _oracle_edit_verified(),
         "url_spam_hosts": _oracle_url_spam(),
         "host_bursts": _oracle_bursts(),
+        "spam_mass_links": _oracle_spam_mass(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -134,6 +134,7 @@ HEADLINE = [
     "edit_verified_docs",
     "url_spam_hosts",
     "host_bursts",
+    "spam_mass_links",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -377,6 +378,7 @@ QUERY_PRIMARY_TABLE = {
     "edit_verified_docs": "documents",
     "url_spam_hosts": "events",
     "host_bursts": "events",
+    "spam_mass_links": "events",
 }
 
 

@@ -288,3 +288,86 @@ def trustrank_oracle_sql(
         f"{body}\n"
         f"SELECT node, round(rank, {final_scale}) AS rank FROM r{iters}"
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 4,
+    rel_thresh: float = 0.5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """T121 — link-spam mass estimation (Gyöngyi, Berkhin,
+    Garcia-Molina & Pedersen, "Link spam detection based on mass
+    estimation", VLDB 2006): how much of a page's PageRank arrives
+    from OUTSIDE the trusted good core. With p = PageRank and
+    p⁺ = TrustRank (the good-core-personalized rank, both L1-mass-1
+    by construction), the paper's estimates are the absolute mass
+    M̃ = p − p⁺ and the relative mass m̃ = (p − p⁺)/p; pages whose
+    rank is mostly spam-delivered (m̃ above a threshold) are the
+    link-farm beneficiaries — the page T79's prose calls
+    "high PageRank but low TrustRank", now quantified per node.
+
+    Output: (node, pagerank, trustrank, spam_mass, rel_mass,
+    is_spam). Both input ranks are the gate-proven round-8 columns of
+    T32/T79; spam_mass = round(p − p⁺, 8) and
+    rel_mass = round((p − p⁺)/p, 6) are fixed IEEE expressions over
+    them (p > 0 always: the teleport floor (1−d)/n is positive), and
+    ``is_spam`` tests the ROUNDED rel_mass — every column engine-exact.
+    Seeds, as in T79, are dimension-sized and broadcast.
+
+    Plan shape: the two power iterations run their T32-discipline
+    loops unchanged (one edge join + one dst-keyed agg per round,
+    localCheckpoint lineage cuts); the composition adds ONE
+    node-keyed join of two (node, double) tables and a map-only
+    projection. At 10^10 edges both ranks are computed once per crawl
+    cycle anyway — this materializes their difference."""
+    pr = pagerank(
+        edges, damping=damping, iters=iters,
+        src_col=src_col, dst_col=dst_col,
+    ).select("node", F.round("rank", 8).alias("pagerank"))
+    tr = trustrank(
+        edges, seeds, damping=damping, iters=iters,
+        src_col=src_col, dst_col=dst_col, seed_col=seed_col,
+    ).select("node", F.round("rank", 8).alias("trustrank"))
+    j = pr.join(tr, "node")
+    mass = F.round(F.col("pagerank") - F.col("trustrank"), 8)
+    rel = F.round(
+        (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"), 6
+    )
+    return j.select(
+        "node",
+        "pagerank",
+        "trustrank",
+        mass.alias("spam_mass"),
+        rel.alias("rel_mass"),
+        (rel >= F.lit(float(rel_thresh))).alias("is_spam"),
+    )
+
+
+def spam_mass_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    damping: float = 0.85,
+    iters: int = 4,
+    rel_thresh: float = 0.5,
+) -> str:
+    """The composition of the two unrolled-CTE twins: each full
+    WITH-statement becomes a derived table, joined on node, with the
+    identical mass/relative-mass expressions."""
+    pr_sql = pagerank_oracle_sql(edges_cte, damping=damping, iters=iters)
+    tr_sql = trustrank_oracle_sql(
+        edges_cte, seeds_cte, damping=damping, iters=iters
+    )
+    return f"""
+SELECT pr.node, pr.rank AS pagerank, tr.rank AS trustrank,
+       round(pr.rank - tr.rank, 8) AS spam_mass,
+       round((pr.rank - tr.rank) / pr.rank, 6) AS rel_mass,
+       (round((pr.rank - tr.rank) / pr.rank, 6) >= {rel_thresh!r})
+         AS is_spam
+FROM ({pr_sql}) pr
+JOIN ({tr_sql}) tr ON tr.node = pr.node
+"""
