@@ -2690,6 +2690,32 @@ def _oracle_spam_mass() -> str:
     )
 
 
+def q_crawl_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T122 (operators/crawl_order.py): the Cho/Garcia-Molina/Page
+    crawl-ordering evaluation over the shared link graph — hot-page
+    recall at 10/25/50/100% crawl budgets under backlink-greedy,
+    discovery-order, and deterministic-random orderings. Oracle =
+    the generated DuckDB twin (global-window ranks, same pinned
+    tie-breaks and exact-integer crawl cutoffs)."""
+    from warcsum_spark.operators.crawl_order import crawl_ordering_eval
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 40).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    return crawl_ordering_eval(edges, hot_pct=10)
+
+
+def _oracle_crawl_ordering() -> str:
+    from warcsum_spark.operators.crawl_order import crawl_ordering_oracle_sql
+
+    return crawl_ordering_oracle_sql(
+        "SELECT user_id % 40 AS src, event_id % 50 AS dst FROM events",
+        hot_pct=10,
+    )
+
+
 def _oracle_pagerank() -> str:
     from warcsum_spark.operators.pagerank import pagerank_oracle_sql
 
@@ -6143,6 +6169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam_hosts": q_url_spam,
         "host_bursts": q_bursts,
         "spam_mass_links": q_spam_mass,
+        "crawl_ordering": q_crawl_ordering,
     }
 
 
@@ -6502,6 +6529,7 @@ def oracle_sql() -> dict[str, str]:
         "url_spam_hosts": _oracle_url_spam(),
         "host_bursts": _oracle_bursts(),
         "spam_mass_links": _oracle_spam_mass(),
+        "crawl_ordering": _oracle_crawl_ordering(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -135,6 +135,7 @@ HEADLINE = [
     "url_spam_hosts",
     "host_bursts",
     "spam_mass_links",
+    "crawl_ordering",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -379,6 +380,7 @@ QUERY_PRIMARY_TABLE = {
     "url_spam_hosts": "events",
     "host_bursts": "events",
     "spam_mass_links": "events",
+    "crawl_ordering": "events",
 }
 
 
