@@ -5944,6 +5944,46 @@ def _oracle_bursts(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return burst_oracle_sql(states_path, hosts_path)
 
 
+def q_imatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T123 (operators/imatch.py): I-Match collection-statistics
+    dedup. The base corpus's 31-word vocabulary is all-common (df up
+    to 402/500 — every word lands ABOVE the df band), so the query
+    layers a deterministic term distribution that exercises every
+    pipeline part: per-doc group tokens ga(doc_id mod 13) and
+    gb(doc_id mod 17) sit MID-band (df ≈ 29–38, kept), one unique
+    zz<doc_id> token sits at the rare end (df = 1, dropped), and the
+    base words at the common end (dropped). Signatures therefore
+    collapse docs agreeing mod 221 — real multi-doc is_dup groups
+    plus singletons, with differences confined to out-of-lexicon
+    terms invisible, exactly the paper's claim. Oracle = the
+    generated DuckDB twin of the whole pipeline."""
+    from warcsum_spark.operators.imatch import imatch_signatures
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ga"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(" gb"), (F.col("doc_id") % 17).cast("string"),
+            F.lit(" zz"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return imatch_signatures(docs)
+
+
+def _oracle_imatch() -> str:
+    from warcsum_spark.operators.imatch import imatch_oracle_sql
+
+    docs_sql = """
+  SELECT doc_id,
+         text || ' ga' || CAST(doc_id % 13 AS VARCHAR)
+              || ' gb' || CAST(doc_id % 17 AS VARCHAR)
+              || ' zz' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+"""
+    return imatch_oracle_sql(docs_sql)
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T116 (operators/cdc.py): content-defined chunking (windowed
     Gear + FastCDC two-mask rule) and the chunk-level storage-dedup
@@ -6170,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_bursts": q_bursts,
         "spam_mass_links": q_spam_mass,
         "crawl_ordering": q_crawl_ordering,
+        "imatch_docs": q_imatch,
     }
 
 
@@ -6530,6 +6571,7 @@ def oracle_sql() -> dict[str, str]:
         "host_bursts": _oracle_bursts(),
         "spam_mass_links": _oracle_spam_mass(),
         "crawl_ordering": _oracle_crawl_ordering(),
+        "imatch_docs": _oracle_imatch(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -136,6 +136,7 @@ HEADLINE = [
     "host_bursts",
     "spam_mass_links",
     "crawl_ordering",
+    "imatch_docs",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -381,6 +382,7 @@ QUERY_PRIMARY_TABLE = {
     "host_bursts": "events",
     "spam_mass_links": "events",
     "crawl_ordering": "events",
+    "imatch_docs": "documents",
 }
 
 
