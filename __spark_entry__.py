@@ -6211,7 +6211,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass_links": q_spam_mass,
         "crawl_ordering": q_crawl_ordering,
         "imatch_docs": q_imatch,
+        "spotsig_dups": q_spotsigs,
     }
+
+
+def q_spotsigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T124 (operators/spotsigs.py): SpotSigs stopword-antecedent
+    near-dup detection over the documents table. The synthetic corpus
+    carries 'a'/'the' as natural antecedents and real perturbed-copy
+    near-dups, so the candidate stage proposes genuine high-sim pairs
+    (633 pairs / 33 dups at sf0.01) next to sub-threshold collisions
+    from the small chain vocabulary — both branches of the integer
+    τ test exercised. Oracle = the generated DuckDB twin of the whole
+    extract→prune→verify pipeline."""
+    from warcsum_spark.operators.spotsigs import spotsig_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return spotsig_duplicates(docs)
+
+
+def _oracle_spotsigs() -> str:
+    from warcsum_spark.operators.spotsigs import spotsigs_oracle_sql
+
+    return spotsigs_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _oracle_rep_optout() -> str:
@@ -6572,6 +6594,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_links": _oracle_spam_mass(),
         "crawl_ordering": _oracle_crawl_ordering(),
         "imatch_docs": _oracle_imatch(),
+        "spotsig_dups": _oracle_spotsigs(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

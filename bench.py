@@ -137,6 +137,7 @@ HEADLINE = [
     "spam_mass_links",
     "crawl_ordering",
     "imatch_docs",
+    "spotsig_dups",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -383,6 +384,7 @@ QUERY_PRIMARY_TABLE = {
     "spam_mass_links": "events",
     "crawl_ordering": "events",
     "imatch_docs": "documents",
+    "spotsig_dups": "documents",
 }
 
 
