@@ -6212,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ordering": q_crawl_ordering,
         "imatch_docs": q_imatch,
         "spotsig_dups": q_spotsigs,
+        "sgt_smoothing": q_good_turing,
     }
 
 
@@ -6234,6 +6235,46 @@ def _oracle_spotsigs() -> str:
     from warcsum_spark.operators.spotsigs import spotsigs_oracle_sql
 
     return spotsigs_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T125 (operators/goodturing.py): Simple Good-Turing smoothing.
+    The 31-word base vocabulary has no hapax tail, so the query layers
+    a deterministic falling frequency-of-frequencies curve: two unique
+    tokens per doc (N1 = 2·n docs), plus mod-250/166/125 group tokens
+    (N2/N3/N4 ≈ n/2, n/3, n/4) under the base words' singleton head
+    ranks. The resulting table exercises BOTH regimes — the r=1 row
+    takes the classic Turing discount (r* = 2·N2/N1 = 0.5) while the
+    switch rule hands every later rank to the smoothed line — and both
+    p0 > 0 and the exact 1e9-scaled normalizer are live. Oracle = the
+    generated DuckDB twin of the full pinned chain."""
+    from warcsum_spark.operators.goodturing import good_turing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("text"),
+            F.lit(" zz"), F.col("doc_id").cast("string"),
+            F.lit(" yy"), F.col("doc_id").cast("string"),
+            F.lit(" qq"), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" gg"), (F.col("doc_id") % 166).cast("string"),
+            F.lit(" hh"), (F.col("doc_id") % 125).cast("string"),
+        ).alias("text")
+    )
+    return good_turing(docs)
+
+
+def _oracle_good_turing() -> str:
+    from warcsum_spark.operators.goodturing import good_turing_oracle_sql
+
+    docs_sql = """
+  SELECT text || ' zz' || CAST(doc_id AS VARCHAR)
+              || ' yy' || CAST(doc_id AS VARCHAR)
+              || ' qq' || CAST(doc_id % 250 AS VARCHAR)
+              || ' gg' || CAST(doc_id % 166 AS VARCHAR)
+              || ' hh' || CAST(doc_id % 125 AS VARCHAR) AS text
+  FROM documents
+"""
+    return good_turing_oracle_sql(docs_sql)
 
 
 def _oracle_rep_optout() -> str:
@@ -6595,6 +6636,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_ordering": _oracle_crawl_ordering(),
         "imatch_docs": _oracle_imatch(),
         "spotsig_dups": _oracle_spotsigs(),
+        "sgt_smoothing": _oracle_good_turing(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

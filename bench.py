@@ -138,6 +138,7 @@ HEADLINE = [
     "crawl_ordering",
     "imatch_docs",
     "spotsig_dups",
+    "sgt_smoothing",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -385,6 +386,7 @@ QUERY_PRIMARY_TABLE = {
     "crawl_ordering": "events",
     "imatch_docs": "documents",
     "spotsig_dups": "documents",
+    "sgt_smoothing": "documents",
 }
 
 
