@@ -6213,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imatch_docs": q_imatch,
         "spotsig_dups": q_spotsigs,
         "sgt_smoothing": q_good_turing,
+        "textrank_keywords": q_textrank,
     }
 
 
@@ -6235,6 +6236,27 @@ def _oracle_spotsigs() -> str:
     from warcsum_spark.operators.spotsigs import spotsigs_oracle_sql
 
     return spotsigs_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T126 (operators/textrank.py): TextRank keywords over the
+    documents corpus — the co-occurrence graph of the 31-word base
+    vocabulary at window 2, scored by the gate-proven T32 PageRank
+    engine (6 rounds, per-round round-10), top-50 by (score DESC,
+    word). Oracle = the same list-lambda pair extraction feeding the
+    generated unrolled-CTE PageRank twin."""
+    from warcsum_spark.operators.textrank import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return textrank_keywords(docs, window=2, iters=6, k=50)
+
+
+def _oracle_textrank() -> str:
+    from warcsum_spark.operators.textrank import textrank_oracle_sql
+
+    return textrank_oracle_sql(
+        "SELECT text FROM documents", window=2, iters=6, k=50
+    )
 
 
 def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6637,6 +6659,7 @@ def oracle_sql() -> dict[str, str]:
         "imatch_docs": _oracle_imatch(),
         "spotsig_dups": _oracle_spotsigs(),
         "sgt_smoothing": _oracle_good_turing(),
+        "textrank_keywords": _oracle_textrank(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -139,6 +139,7 @@ HEADLINE = [
     "imatch_docs",
     "spotsig_dups",
     "sgt_smoothing",
+    "textrank_keywords",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -387,6 +388,7 @@ QUERY_PRIMARY_TABLE = {
     "imatch_docs": "documents",
     "spotsig_dups": "documents",
     "sgt_smoothing": "documents",
+    "textrank_keywords": "documents",
 }
 
 
