@@ -6214,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spotsig_dups": q_spotsigs,
         "sgt_smoothing": q_good_turing,
         "textrank_keywords": q_textrank,
+        "dedup_tier_agreement": q_cluster_agreement,
     }
 
 
@@ -6236,6 +6237,60 @@ def _oracle_spotsigs() -> str:
     from warcsum_spark.operators.spotsigs import spotsigs_oracle_sql
 
     return spotsigs_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T127 (operators/cluster_agree.py): pair-counting agreement
+    between the order-blind bag duplicate clustering (reference:
+    label = md5 of the sorted distinct token set) and the classic
+    cheap BLOCKING key every record-linkage pass starts from
+    (candidate: label = payload length). Pair recall is the blocking
+    key's pairs-completeness — the fraction of true bag-dup pairs a
+    length-bucketed dedup would even get to compare — and precision
+    prices its candidate-pair waste; at sf0.01 all ten outputs are
+    non-degenerate (tp=4, fp=249, fn=440). Oracle = the generated
+    DuckDB twin on identically-derived labels."""
+    from warcsum_spark.operators.cluster_agree import cluster_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    nrm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         r"[ \t\n\x0b\f\r]+", " "),
+        "^ | $", "",
+    )
+    ref = docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(nrm, " ")))
+            )
+        ).alias("label"),
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("string").alias("label"),
+    )
+    return cluster_agreement(ref, cand)
+
+
+def _oracle_cluster_agreement() -> str:
+    from warcsum_spark.operators.cluster_agree import (
+        cluster_agreement_oracle_sql,
+    )
+
+    ref_sql = r"""
+  SELECT doc_id AS id,
+         md5(array_to_string(list_sort(list_distinct(string_split(
+           trim(regexp_replace(lower(coalesce(text, '')),
+                               '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '))), ' '))
+           AS label
+  FROM documents
+"""
+    cand_sql = (
+        "SELECT doc_id AS id, CAST(length(text) AS VARCHAR) AS label"
+        " FROM documents"
+    )
+    return cluster_agreement_oracle_sql(ref_sql, cand_sql)
 
 
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6660,6 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         "spotsig_dups": _oracle_spotsigs(),
         "sgt_smoothing": _oracle_good_turing(),
         "textrank_keywords": _oracle_textrank(),
+        "dedup_tier_agreement": _oracle_cluster_agreement(),
     }
     ivf = _oracle_ann_ivf()
     if ivf is not None:

@@ -140,6 +140,7 @@ HEADLINE = [
     "spotsig_dups",
     "sgt_smoothing",
     "textrank_keywords",
+    "dedup_tier_agreement",
     # bpe_merges (and cluster_split, whose connected-components rounds
     # have the same profile) is deliberately NOT here: 25 sequential
     # argmax rounds
@@ -389,6 +390,7 @@ QUERY_PRIMARY_TABLE = {
     "spotsig_dups": "documents",
     "sgt_smoothing": "documents",
     "textrank_keywords": "documents",
+    "dedup_tier_agreement": "documents",
 }
 
 
