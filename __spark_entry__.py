@@ -24,6 +24,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + the min-parallelism guard for per-row-heavy consumers: the
+    test tables are single-row-group parquet files, so a plain scan runs
+    as ONE task and serializes any expression/Arrow-kernel work that
+    precedes the first exchange. ``ensure_min_parallelism`` round-robins
+    the scan up to ``defaultParallelism`` partitions — a trivial exchange
+    of the raw rows here, a no-op at production scale where the input
+    already has >= cores splits (see session.ensure_min_parallelism)."""
+    from warcsum_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # warcsum core semantics over the documents table
 # ---------------------------------------------------------------------------
@@ -338,7 +351,7 @@ def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal shingle strings, blind to the prefix filter."""
     from warcsum_spark.operators.setjoin import containment_join
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = docs.filter(F.col("doc_id") < 15).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.array_join(
@@ -454,7 +467,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     later rank, so the gate certifies the whole trajectory."""
     from warcsum_spark.operators.bpe import learn_bpe
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return learn_bpe(docs, n_merges=25)
 
 
@@ -571,7 +584,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at corpus scale."""
     from warcsum_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     sh = word_shingles(docs, k=3)
     return (
         sh.groupBy("shingle")
@@ -658,7 +671,7 @@ def q_cross_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.dedup import minhash_signatures
     from warcsum_spark.operators.incremental import cross_batch_duplicates
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     # The index is PERSISTED in production (read from parquet, ~100 B/doc)
     # — cache the synthesized stand-in so the corpus-wide minhash kernel
     # runs once, not once per plan reference (band stream + sig join).
@@ -773,7 +786,7 @@ def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rule from the same engine-portable primitives."""
     from warcsum_spark.functions.quality import with_quality_rules
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     marked = with_quality_rules(docs)
     return marked.select(
         "doc_id",
@@ -894,7 +907,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.packing import pack_shards
     from warcsum_spark.operators.para_dedup import dedup_paragraphs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     gated = (
         classify_quality(with_quality_rules(docs))
         .filter(F.col("keep") & F.col("model_keep"))
@@ -903,10 +916,13 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = dedup_paragraphs(gated).select("doc_id", "text")
     chunks = chunk_documents(rebuilt, chunk_tokens=40, overlap=10)
     # 10^6 chunk headroom per doc: at 40/10 windows that is a 3×10^7-word
-    # document before two docs could collide on the pack-order key
+    # document before two docs could collide on the pack-order key.
+    # cached: pack_shards consumes this frame twice (running sum +
+    # bucket totals) and uncached each branch re-runs the whole quality→
+    # para-dedup→chunk pipeline (plan showed the full subtree twice)
     keyed = chunks.withColumn(
         "okey", F.col("doc_id") * 1_000_000 + F.col("chunk_id")
-    )
+    ).cache()
     packed = pack_shards(
         keyed, "n_chunk_words", budget=2000, order_col="okey", bucket_size=100_000
     )
@@ -985,7 +1001,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_slice arithmetic — texts compared verbatim."""
     from warcsum_spark.operators.chunking import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=40, overlap=10)
 
 
@@ -1026,7 +1042,7 @@ def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cjk/latin split discriminating."""
     from warcsum_spark.functions.scripts import with_script_profile
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     out = with_script_profile(docs)
     return out.select(
         "doc_id",
@@ -1079,7 +1095,7 @@ def q_classify_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid from the inlined weight list."""
     from warcsum_spark.operators.classify import classify_quality
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return classify_quality(docs).select("doc_id", "model_score", "model_keep")
 
 
@@ -1120,7 +1136,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     same normalized tokenization."""
     from warcsum_spark.operators.tfidf import top_terms
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     out = top_terms(docs, k=3)
     return out.select(
         "doc_id", "rank", "term", F.round("score", 6).alias("score")
@@ -1352,7 +1368,7 @@ def q_para_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as a digest-collision check on the engine's hash path."""
     from warcsum_spark.operators.para_dedup import dedup_paragraphs
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat("text", F.lit("\n\n" + _BOILERPLATE_PARA)).alias("text"),
     )
@@ -1416,7 +1432,7 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key='hash' == key='text' on the same corpus)."""
     from warcsum_spark.operators.span_dedup import dedup_spans
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id", F.concat("text", F.lit(" " + _SPAN_BOILER)).alias("text")
     )
     out = dedup_spans(docs, k=8)
@@ -1473,7 +1489,7 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the per-doc distinct."""
     from warcsum_spark.operators.decontam import contamination_overlap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 10)
     corpus = docs.filter(F.col("doc_id") >= 10)
     return contamination_overlap(corpus, bench, k=3, min_common=1)
@@ -2247,7 +2263,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     then extracted back. Pure JVM regexp chain, SQL-replicated."""
     from warcsum_spark.functions.html import html_to_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     envelope = F.concat(
         F.lit(
             '<html><head><title>T &amp;lt; x</title>'
@@ -2291,7 +2307,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id) so every rule fires on every row."""
     from warcsum_spark.functions.html import redact_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     payload = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2506,7 +2522,7 @@ def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip (df = 100% within source) while the body lines stay."""
     from warcsum_spark.operators.boilerplate import remove_boilerplate
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.concat(
@@ -2574,7 +2590,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     list cells (round-4 red row). pytest pins the array form."""
     from warcsum_spark.operators.inverted_index import build_inverted_index
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             "text", F.lit(" xtok"), (F.col("doc_id") % 97).cast("string")
@@ -2778,7 +2794,7 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated nfc_normalize/strip_accents twin expression."""
     from warcsum_spark.functions.normalize import normalize_text
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     dirty = F.concat(
         F.lit("​ "),
         F.replace(F.col("text"), F.lit("a"), F.lit("á")),
@@ -2817,7 +2833,7 @@ def q_charset_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     or meta by construction)."""
     from warcsum_spark.functions.charset import sniff_charset
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     m = F.col("doc_id") % 3
     body = (
         F.when(
@@ -2931,7 +2947,7 @@ def q_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio are the pytest-pinned scale path (DuckDB has neither)."""
     from warcsum_spark.functions.entropy import with_char_entropy
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return with_char_entropy(docs, "text", id_cols=["doc_id"])
 
 
@@ -2951,7 +2967,7 @@ def q_entropy_docs_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-green despite DuckDB lacking byte histograms and zlib."""
     from warcsum_spark.functions.entropy import byte_entropy, compress_ratio
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.round(byte_entropy("text"), 6).alias("byte_entropy"),
@@ -2989,7 +3005,7 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay small. Oracle = the identical RE2-safe rules in DuckDB."""
     from warcsum_spark.operators.urltemplates import mine_url_templates
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     host = F.concat(
         F.lit("http://h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")
     )
@@ -3058,7 +3074,7 @@ def q_tag_topics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions generated for DuckDB from the same dictionary."""
     from warcsum_spark.operators.tagging import tag_topics
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return tag_topics(docs, _TAGGING_TAXONOMY, min_hits=2)
 
 
@@ -3075,7 +3091,7 @@ def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses (added/removed/changed/unchanged) are populated."""
     from warcsum_spark.operators.snapshot import snapshot_diff
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     url = F.concat(
         F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".test/")
     ).alias("url")
@@ -3150,7 +3166,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails and a hot key with a tie-breakable top-k."""
     from warcsum_spark.operators.anchors import aggregate_anchor_text, anchor_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     pages = docs.select(
         F.concat(F.lit("http://d"), F.col("doc_id").cast("string"), F.lit(".test/")).alias("url"),
         F.concat(
@@ -3217,7 +3233,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     some never). Epoch projections keep the comparison timezone-proof."""
     from warcsum_spark.operators.recrawl import recrawl_schedule
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -3360,7 +3376,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings so every SURT rule is exercised at the gate."""
     from warcsum_spark.operators.cdx import cdx_index
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     captures = docs.select(
         F.concat(
             F.lit("http://www.S"),
@@ -3421,7 +3437,7 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter-keyed templates and must NOT flag."""
     from warcsum_spark.frontier.traps import detect_traps
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     urls = ev.select(
         F.concat(
             F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
@@ -3510,7 +3526,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity."""
     from warcsum_spark.operators.lm_score import lm_perplexity
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return lm_perplexity(
         docs,
         reference_pred=F.col("lang") == "en",
@@ -3572,7 +3588,7 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc log importance weight over 512 md5 buckets."""
     from warcsum_spark.operators.dsir import dsir_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dsir_scores(
         docs,
         target=docs.filter(F.col("lang") == "en"),
@@ -3634,7 +3650,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever appear as targets (pure sinks → NULL reciprocity)."""
     from warcsum_spark.operators.hostgraph import host_edges, host_graph_stats
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     links = ev.select(
         F.concat(
             F.lit("http://h"),
@@ -3693,7 +3709,7 @@ def q_host_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-then-merge ≡ direct)."""
     from warcsum_spark.operators.hll import hll_estimate, hll_merge, hll_sketch
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     pages = ev.select(
         F.concat(
             F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
@@ -3753,7 +3769,7 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_registrable_domain,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     hosts = F.array(*[F.lit(h) for h in _PSL_HOSTS])
     src = ev.select(
         F.col("event_id"),
@@ -3813,7 +3829,7 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(e % 4 == 0, F.concat(F.lit("|"), vv)).otherwise(F.lit("")),
         )
     )
-    src = _t(spark, sf_dir, "events").select(
+    src = _tp(spark, sf_dir, "events").select(
         host.alias("host"), url.alias("url"), digest.alias("digest")
     )
     return mine_param_rules(src, min_support=5).orderBy("host", "param")
@@ -3896,7 +3912,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = F.when(
         e % 2 == 0, F.concat(F.lit("k"), (e % 97).cast("string"))
     ).otherwise(F.concat(F.lit("k"), (e % 7).cast("string")))
-    src = _t(spark, sf_dir, "events").select(item.alias("item"))
+    src = _tp(spark, sf_dir, "events").select(item.alias("item"))
     sk = cms_sketch(src, [], "item", d=3, w=64)
     return cms_topk(sk, src.distinct(), "item", k=15, d=3, w=64)
 
@@ -4022,7 +4038,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gated query, not just in pytest."""
     from warcsum_spark.operators.bm25 import bm25_search
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = spark.createDataFrame(
         _BM25_QUERIES, "query_id long, term string"
     )
@@ -4223,7 +4239,7 @@ def q_dsir_scores_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator arithmetic on it."""
     from warcsum_spark.operators.dsir import dsir_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dsir_scores(
         docs,
         target=docs.filter(F.col("lang") == "en"),
@@ -4340,7 +4356,7 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     no validity probe — the T63 precedent)."""
     from warcsum_spark.functions.mime import mime_mismatch, normalize_declared, sniff_mime
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     m = F.col("doc_id") % 8
     body = F.encode("text", "UTF-8")
     payload = (
@@ -4504,7 +4520,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary straddling is the common case, not the corner)."""
     from warcsum_spark.operators.packing import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(docs, seq_len=64, n_shards=8, seed=42)
 
 
@@ -4683,7 +4699,7 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("\nSHARE THIS"),
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id", "source", text.alias("text")
     )
     return dedup_lines(docs, carry_cols=("source",))
@@ -4714,7 +4730,7 @@ def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d % 23 == 0, F.lit("\nthis page mentions obscenityone today.")
         ).otherwise(F.lit("")),
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id", "lang", text.alias("text")
     )
     return c4_clean(docs, carry_cols=("lang",))
@@ -4727,7 +4743,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identically-associated PMI arithmetic."""
     from warcsum_spark.operators.collocations import pmi_collocations
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    docs = _tp(spark, sf_dir, "documents").select("text")
     return pmi_collocations(docs, k=100, min_count=5)
 
 
@@ -4861,7 +4877,7 @@ def q_knlm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical cross-engine, rounded to 6 after)."""
     from warcsum_spark.operators.knlm import kn_bigram_lm
 
-    return kn_bigram_lm(_t(spark, sf_dir, "documents"))
+    return kn_bigram_lm(_tp(spark, sf_dir, "documents"))
 
 
 def _oracle_knlm() -> str:
@@ -4895,7 +4911,7 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.bpe import encode_corpus
 
     return encode_corpus(
-        _t(spark, sf_dir, "documents"), _BPE_ENC_MERGES
+        _tp(spark, sf_dir, "documents"), _BPE_ENC_MERGES
     )
 
 
@@ -4916,7 +4932,7 @@ def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.functions.readability import readability
 
     return readability(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _tp(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -4936,7 +4952,7 @@ def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.inverted_index import build_inverted_index
     from warcsum_spark.operators.postings import postings_compression
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             "text", F.lit(" xtok"), (F.col("doc_id") % 97).cast("string")
@@ -5166,7 +5182,7 @@ def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical upgrade of T35's naive span/changes interval."""
     from warcsum_spark.operators.recrawl import change_rate_mle
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -5242,7 +5258,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised on both sides (both corpora exceed k distinct texts)."""
     from warcsum_spark.operators.kmv import kmv_overlap, kmv_sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     crawl_a = docs.select("text")
     crawl_b = docs.select(
         F.when(
@@ -5321,14 +5337,14 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.fusion import rrf_fuse
     from warcsum_spark.operators.similarity import brute_force_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     lex = bm25_search(
         docs,
         spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
         k=5,
         salt_buckets=8,
     )
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     qvecs = emb.filter(F.col("vec_id").between(1, 4)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5367,7 +5383,7 @@ def q_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
     and partitioning-invariant."""
     from warcsum_spark.operators.zipf import corpus_laws
 
-    return corpus_laws(_t(spark, sf_dir, "documents"))
+    return corpus_laws(_tp(spark, sf_dir, "documents"))
 
 
 def _oracle_corpus_laws() -> str:
@@ -5385,7 +5401,7 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ubiquity cap (and leave the size base)."""
     from warcsum_spark.operators.mirrors import mirror_hosts
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     d = F.col("doc_id")
     p = F.expr("doc_id DIV 8")
     mut = F.when(
@@ -5581,7 +5597,11 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((g + 1) % 8) * 10).alias("dst"),
     )
     edges = intra.unionByName(bridges)
-    return modularity(edges, label_propagation(edges, iters=5))
+    # the label table feeds FOUR plan branches inside modularity (D_c,
+    # both endpoint attaches, n_nodes); uncached each branch re-runs the
+    # post-checkpoint LPA rounds
+    labels = label_propagation(edges, iters=5).cache()
+    return modularity(edges, labels)
 
 
 def _oracle_modularity() -> str:
@@ -5605,7 +5625,7 @@ def q_freshness_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.freshness import freshness_policy
     from warcsum_spark.operators.recrawl import change_rate_mle
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -5646,7 +5666,7 @@ def q_wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the documents corpus, terms with df >= 3."""
     from warcsum_spark.operators.wand import wand_upper_bounds
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return wand_upper_bounds(docs, min_df=3)
 
 
@@ -5667,7 +5687,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.bpe import tokenizer_fertility
 
     return tokenizer_fertility(
-        _t(spark, sf_dir, "documents"), _BPE_ENC_MERGES
+        _tp(spark, sf_dir, "documents"), _BPE_ENC_MERGES
     )
 
 
@@ -5715,7 +5735,7 @@ def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.lm_score import moore_lewis
 
     return moore_lewis(
-        _t(spark, sf_dir, "documents"),
+        _tp(spark, sf_dir, "documents"),
         F.col("lang") == "en",
         vocab_size=100,
         alpha=0.1,
@@ -5773,7 +5793,7 @@ def q_qlm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(t,q) multiplicity path via the added (3, 'vector') repeat)."""
     from warcsum_spark.operators.qlm import query_likelihood_search
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = spark.createDataFrame(
         _QLM_QUERIES, "query_id long, term string"
     )
@@ -5870,7 +5890,7 @@ def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer arithmetic in DuckDB."""
     from warcsum_spark.operators.urlspam import url_spam_signals
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     hid = F.col("user_id") % 50
     spam = hid >= 47
     host = F.when(
@@ -5959,7 +5979,7 @@ def q_imatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated DuckDB twin of the whole pipeline."""
     from warcsum_spark.operators.imatch import imatch_signatures
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tp(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -6229,7 +6249,7 @@ def q_spotsigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract→prune→verify pipeline."""
     from warcsum_spark.operators.spotsigs import spotsig_duplicates
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     return spotsig_duplicates(docs)
 
 
@@ -6262,7 +6282,7 @@ def q_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.md5(
             F.concat_ws(
-                " ", F.array_sort(F.array_distinct(F.split(nrm, " ")))
+                " ", F.sort_array(F.array_distinct(F.split(nrm, " ")))
             )
         ).alias("label"),
     )
@@ -6302,7 +6322,7 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated unrolled-CTE PageRank twin."""
     from warcsum_spark.operators.textrank import textrank_keywords
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    docs = _tp(spark, sf_dir, "documents").select("text")
     return textrank_keywords(docs, window=2, iters=6, k=50)
 
 

@@ -126,10 +126,14 @@ def bm25_search(
     # broadcast vocabulary filter BEFORE the token-stream exchange:
     # non-query tokens never shuffle
     matched = toks.join(F.broadcast(vocab), "term", "inner")
+    # cached: both the df aggregate and the scoring join consume the
+    # matched-pair table — uncached each re-runs the corpus tokenize +
+    # explode + vocab join (pairs are (query-vocab × doc) grain, the
+    # retrieval working set)
     pairs = matched.groupBy("term", id_col).agg(
         F.count("*").cast("double").alias("tf"),
         F.max("doclen").cast("double").alias("doclen"),
-    )
+    ).cache()
 
     # df over the filtered pairs is exact (the term filter keeps every
     # doc of a surviving term) and vocabulary-sized → broadcast back

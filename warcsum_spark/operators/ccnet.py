@@ -97,7 +97,7 @@ def threshold_buckets(
     arr = _labels_array(n_buckets, labels)
     gcols = list(group_cols)
     per_group = cuts.groupBy(*gcols).agg(
-        F.array_sort(F.collect_list("value")).alias("_cuts")
+        F.sort_array(F.collect_list("value")).alias("_cuts")
     )
     joined = df.join(F.broadcast(per_group), on=gcols, how="left")
     v = F.col(value_col).cast("double")

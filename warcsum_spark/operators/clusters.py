@@ -74,8 +74,11 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        # one job: the filtered count materializes the lazy checkpoint
+        # (persisting every partition of the same RDD for the next
+        # round) and answers the convergence test (hopdist.py discipline)
+        changed = new_labels.filter(F.col("_changed")).count()
         # NOTE: localCheckpoint blocks are NOT freed by Dataset.unpersist
         # (that only clears CacheManager entries); they are reclaimed by
         # the ContextCleaner once the previous frame's RDD is
@@ -170,13 +173,19 @@ def star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # count() materializes the lazy checkpoint (one job, hopdist.py
+        # discipline); the previous round's count is carried in a local
+        # instead of re-running count() on the old frame every round
+        n_new = new_edges.count()
         same = (
-            new_edges.count() == edges.count()
+            n_new == n_edges
             and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         edges = new_edges
+        n_edges = n_new
         if same:
             # converged: edges form stars (child, root) with root = min
             roots = edges.select(

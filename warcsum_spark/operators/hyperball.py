@@ -102,9 +102,11 @@ def neighborhood_exact(
             .select(F.col("_src").alias("node"), "member")
             .distinct()
             .join(visited, ["node", "member"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        # one job: count() materializes the lazy checkpoint and tests
+        # emptiness (the hopdist.py discipline)
+        if nxt.count() == 0:
             break
         rounds.append(
             nxt.groupBy("node").agg(
@@ -112,6 +114,8 @@ def neighborhood_exact(
                 F.count("*").alias("cnt"),
             )
         )
+        # re-compacted per round (see hopdist.py: a lazy union pile makes
+        # the per-round anti-join re-shuffle ever more tiny partitions)
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     if not rounds:
@@ -190,8 +194,10 @@ def hyperball(
             regs.unionByName(cand)
             .groupBy("node", "bucket")
             .agg(F.max("max_rank").alias("max_rank"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the fixpoint agg materializes the lazy checkpoint in the same
+        # job (the hopdist.py discipline)
         nxt = regs.agg(
             F.count("*").alias("n"), F.sum("max_rank").alias("s")
         ).first()

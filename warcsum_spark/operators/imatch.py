@@ -97,7 +97,7 @@ def imatch_signatures(
     kept = terms.join(lexicon, "term")
     sigs = kept.groupBy("doc_id").agg(
         F.sha2(
-            F.concat_ws(" ", F.array_sort(F.collect_set("term"))), 256
+            F.concat_ws(" ", F.sort_array(F.collect_set("term"))), 256
         ).alias("signature")
     )
     groups = sigs.groupBy("signature").agg(

@@ -59,6 +59,9 @@ def modularity(
     modularity). ``labels`` must cover every endpoint (T61's contract —
     its node set IS the edge list's node set); see module docstring for
     the pinned arithmetic."""
+    # cached: three branches consume the canonical edge list (degrees,
+    # intra-edge count, m) — slim (long, long) rows, community-detection
+    # input grain, the lsh_candidate_pairs cache precedent
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -66,6 +69,7 @@ def modularity(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .cache()
     )
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")

@@ -66,16 +66,26 @@ def opic(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n1 = nodes.agg(F.count("*").alias("_n"))
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     e_w = e.join(deg, "src").localCheckpoint(eager=True)
+    # fixed dangling flag precomputed once — the per-round state⋈deg
+    # anti-join becomes a filter over the checkpointed state (the
+    # pagerank.py discipline)
+    nd = nodes.join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("_has_out", F.lit(False)).alias("_has_out")
+    ).localCheckpoint(eager=True)
+    n1 = nd.agg(F.count("*").alias("_n"))
 
     state = (
-        nodes.crossJoin(F.broadcast(n1))
+        nd.crossJoin(F.broadcast(n1))
         .select(
             "node",
+            "_has_out",
             F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("cash"),
             F.lit(0.0).alias("hist"),
         )
@@ -92,15 +102,16 @@ def opic(
             .groupBy("node")
             .agg(F.sum("c").alias("_contrib"))
         )
-        dangling = state.join(
-            deg, state.node == deg.src, "left_anti"
-        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm"))
+        dangling = state.filter(~F.col("_has_out")).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm")
+        )
         state = (
             state.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n1))
             .select(
                 "node",
+                "_has_out",
                 F.round(
                     F.coalesce(F.col("_contrib"), F.lit(0.0))
                     + F.col("_dm") / F.col("_n"),

@@ -55,14 +55,26 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n1 = nodes.agg(F.count("*").alias("_n"))  # one row, broadcast below
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     e_w = e.join(deg, "src").localCheckpoint(eager=True)  # (src, dst, _deg)
+    # node table with the FIXED dangling flag (no out-edges): computing it
+    # once replaces the per-round ranks⋈deg anti-join with a filter over
+    # the already-materialized ranks — one join + two exchanges fewer per
+    # iteration, same dangling set by construction
+    nd = nodes.join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("_has_out", F.lit(False)).alias("_has_out")
+    ).localCheckpoint(eager=True)
+    n1 = nd.agg(F.count("*").alias("_n"))  # one row, broadcast below
 
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("rank")
+    ranks = nd.crossJoin(F.broadcast(n1)).select(
+        "node",
+        "_has_out",
+        F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("rank"),
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
@@ -72,16 +84,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("_contrib"))
         )
-        dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        dangling = ranks.filter(~F.col("_has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nd.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n1))
             .select(
                 "node",
+                "_has_out",
                 F.round(
                     (1.0 - damping) / F.col("_n")
                     + damping
@@ -94,7 +106,7 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_oracle_sql(
@@ -182,15 +194,23 @@ def trustrank(
         .distinct()
     )
     s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # seed flag + fixed dangling flag in ONE node table (see pagerank:
+    # the flag replaces the per-round anti-join with a filter)
     marked = nodes.join(
         F.broadcast(s.withColumn("_is_seed", F.lit(True))), "node", "left"
+    ).join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
     ).select(
-        "node", F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed")
+        "node",
+        F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+        F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
     ).localCheckpoint(eager=True)
     ns1 = marked.agg(
         F.sum(F.col("_is_seed").cast("long")).alias("_ns")
     )  # one row, broadcast below
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     e_w = e.join(deg, "src").localCheckpoint(eager=True)
 
     def _teleport():
@@ -201,6 +221,7 @@ def trustrank(
     ranks = marked.crossJoin(F.broadcast(ns1)).select(
         "node",
         "_is_seed",
+        "_has_out",
         F.round(_teleport(), round_scale).alias("rank"),
     ).localCheckpoint(eager=True)
 
@@ -214,7 +235,7 @@ def trustrank(
             .groupBy("node")
             .agg(F.sum("c").alias("_contrib"))
         )
-        dangling = ranks.join(deg, ranks.node == deg.src, "left_anti").agg(
+        dangling = ranks.filter(~F.col("_has_out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
@@ -224,6 +245,7 @@ def trustrank(
             .select(
                 "node",
                 "_is_seed",
+                "_has_out",
                 F.round(
                     (1.0 - damping) * _teleport()
                     + damping

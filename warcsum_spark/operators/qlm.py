@@ -75,10 +75,12 @@ def query_likelihood_search(
 
     toks = _tokens_with_len(docs, id_col, text_col)
     matched = toks.join(F.broadcast(vocab), "term", "inner")
+    # cached: cf aggregate + scoring join both consume the pair table
+    # (see bm25.py — uncached each re-runs tokenize/explode/vocab join)
     pairs = matched.groupBy("term", id_col).agg(
         F.count("*").cast("double").alias("tf"),
         F.max("doclen").cast("double").alias("doclen"),
-    )
+    ).cache()
 
     # cf over the filtered pairs is exact (vocab filter keeps every
     # occurrence of a surviving term); vocabulary-sized → broadcast

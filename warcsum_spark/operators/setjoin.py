@@ -96,7 +96,7 @@ def similarity_join(
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(_shingle_hash_array(text_col, k))
             ).alias("sh_set"),
         )
@@ -172,7 +172,7 @@ def containment_join(
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.array_sort(
+            F.sort_array(
                 F.array_distinct(_shingle_hash_array(text_col, k))
             ).alias("sh_set"),
         )
