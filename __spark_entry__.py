@@ -24,6 +24,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: scan-partition counts per (session id, table path) — the
+#: ``df.rdd.getNumPartitions()`` probe inside ensure_min_parallelism
+#: costs a plan→RDD conversion (~40 ms of driver time) per call; the
+#: split count of a fixed path under a fixed session config is a
+#: constant, so probe once. (Decision memo only — never query results.)
+_SCAN_PARTS: dict[tuple[int, str], int] = {}
+
+
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``_t`` + the min-parallelism guard for per-row-heavy consumers: the
     test tables are single-row-group parquet files, so a plain scan runs
@@ -32,9 +40,16 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the scan up to ``defaultParallelism`` partitions — a trivial exchange
     of the raw rows here, a no-op at production scale where the input
     already has >= cores splits (see session.ensure_min_parallelism)."""
-    from warcsum_spark.session import ensure_min_parallelism
-
-    return ensure_min_parallelism(_t(spark, sf_dir, name))
+    df = _t(spark, sf_dir, name)
+    key = (id(spark), os.path.join(sf_dir, name))
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n
+    target = spark.sparkContext.defaultParallelism
+    if n < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +366,7 @@ def q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal shingle strings, blind to the prefix filter."""
     from warcsum_spark.operators.setjoin import containment_join
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = docs.filter(F.col("doc_id") < 15).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.array_join(
@@ -671,7 +686,7 @@ def q_cross_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.dedup import minhash_signatures
     from warcsum_spark.operators.incremental import cross_batch_duplicates
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # The index is PERSISTED in production (read from parquet, ~100 B/doc)
     # — cache the synthesized stand-in so the corpus-wide minhash kernel
     # runs once, not once per plan reference (band stream + sig join).
@@ -907,7 +922,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.packing import pack_shards
     from warcsum_spark.operators.para_dedup import dedup_paragraphs
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     gated = (
         classify_quality(with_quality_rules(docs))
         .filter(F.col("keep") & F.col("model_keep"))
@@ -1368,7 +1383,7 @@ def q_para_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles as a digest-collision check on the engine's hash path."""
     from warcsum_spark.operators.para_dedup import dedup_paragraphs
 
-    docs = _tp(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat("text", F.lit("\n\n" + _BOILERPLATE_PARA)).alias("text"),
     )
@@ -2794,7 +2809,7 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated nfc_normalize/strip_accents twin expression."""
     from warcsum_spark.functions.normalize import normalize_text
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dirty = F.concat(
         F.lit("​ "),
         F.replace(F.col("text"), F.lit("a"), F.lit("á")),
@@ -2833,7 +2848,7 @@ def q_charset_sniff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     or meta by construction)."""
     from warcsum_spark.functions.charset import sniff_charset
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     m = F.col("doc_id") % 3
     body = (
         F.when(
@@ -2967,7 +2982,7 @@ def q_entropy_docs_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-green despite DuckDB lacking byte histograms and zlib."""
     from warcsum_spark.functions.entropy import byte_entropy, compress_ratio
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.round(byte_entropy("text"), 6).alias("byte_entropy"),
@@ -3005,7 +3020,7 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay small. Oracle = the identical RE2-safe rules in DuckDB."""
     from warcsum_spark.operators.urltemplates import mine_url_templates
 
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     host = F.concat(
         F.lit("http://h"), (F.col("user_id") % 5).cast("string"), F.lit(".test")
     )
@@ -3091,7 +3106,7 @@ def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses (added/removed/changed/unchanged) are populated."""
     from warcsum_spark.operators.snapshot import snapshot_diff
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     url = F.concat(
         F.lit("http://doc"), F.col("doc_id").cast("string"), F.lit(".test/")
     ).alias("url")
@@ -3166,7 +3181,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails and a hot key with a tie-breakable top-k."""
     from warcsum_spark.operators.anchors import aggregate_anchor_text, anchor_pairs
 
-    docs = _tp(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     pages = docs.select(
         F.concat(F.lit("http://d"), F.col("doc_id").cast("string"), F.lit(".test/")).alias("url"),
         F.concat(
@@ -3233,7 +3248,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     some never). Epoch projections keep the comparison timezone-proof."""
     from warcsum_spark.operators.recrawl import recrawl_schedule
 
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -3437,7 +3452,7 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     letter-keyed templates and must NOT flag."""
     from warcsum_spark.frontier.traps import detect_traps
 
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     urls = ev.select(
         F.concat(
             F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
@@ -4520,7 +4535,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary straddling is the common case, not the corner)."""
     from warcsum_spark.operators.packing import pack_sequences
 
-    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(docs, seq_len=64, n_shards=8, seed=42)
 
 
@@ -5182,7 +5197,7 @@ def q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistical upgrade of T35's naive span/changes interval."""
     from warcsum_spark.operators.recrawl import change_rate_mle
 
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -5258,7 +5273,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised on both sides (both corpora exceed k distinct texts)."""
     from warcsum_spark.operators.kmv import kmv_overlap, kmv_sketch
 
-    docs = _tp(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     crawl_a = docs.select("text")
     crawl_b = docs.select(
         F.when(
@@ -5401,7 +5416,7 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ubiquity cap (and leave the size base)."""
     from warcsum_spark.operators.mirrors import mirror_hosts
 
-    docs = _tp(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     p = F.expr("doc_id DIV 8")
     mut = F.when(
@@ -5625,7 +5640,7 @@ def q_freshness_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.freshness import freshness_policy
     from warcsum_spark.operators.recrawl import change_rate_mle
 
-    ev = _tp(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     history = ev.select(
         F.concat(
             F.lit("http://s"),
@@ -5979,7 +5994,7 @@ def q_imatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated DuckDB twin of the whole pipeline."""
     from warcsum_spark.operators.imatch import imatch_signatures
 
-    docs = _tp(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -64,7 +64,12 @@ def url_sort_ids(
         slim = slim.repartitionByRange("_url", "old_id")
     parts = slim.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy("_url", "old_id")
-    local = parts.withColumn("_lpos", F.row_number().over(w))
+    # cached: the per-partition sizes aggregate AND the final offset join
+    # both consume the ranked frame — uncached each re-runs the range
+    # exchange (with its sampling pass) and the window. Results don't
+    # depend on the cache: new_id = offset + local pos - 1 is the global
+    # (url, old_id) rank, invariant to where the range boundaries fall.
+    local = parts.withColumn("_lpos", F.row_number().over(w)).cache()
     sizes = local.groupBy("_pid").agg(F.max("_lpos").alias("_n"))
     offsets = sizes.select(
         "_pid",

@@ -122,11 +122,14 @@ def dsir_weights(
         .groupBy("bucket")
         .agg(F.count("*").alias("c_r"))
     )
+    # cached: the totals aggregate and the weight projection both consume
+    # this frame — uncached, each re-runs BOTH corpus bigram extractions.
+    # ≤ n_buckets rows by construction, so the cache is dimension-sized.
     joined = t.join(r, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("c_t", F.lit(0)).alias("c_t"),
         F.coalesce("c_r", F.lit(0)).alias("c_r"),
-    )
+    ).cache()
     # totals as 1-row broadcast cross joins: one lazy plan, no collect
     totals = joined.agg(
         F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")

@@ -82,6 +82,25 @@ def _fold_sq(x: Column) -> Column:
     )
 
 
+def _dot_sql(vec_col: str, weights: list[float]) -> str:
+    """``_fold_dot`` as ONE SQL expression string: the Column form costs
+    ~1000 py4j round trips per query build (dim_in literals × dim_out
+    coordinates — ~0.6 s of driver time measured); the parsed tree and
+    the float fold order are identical."""
+    arr = "array(" + ", ".join(f"{v!r}D" for v in weights) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, (a, b) -> "
+        "CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_sql(col: str) -> str:
+    return (
+        f"aggregate(transform(`{col}`, a -> CAST(a AS DOUBLE) * "
+        "CAST(a AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def project(
     emb: DataFrame,
     dim_in: int,
@@ -93,13 +112,10 @@ def project(
     """(vec_id, proj array<double>): the JL projection, coordinates
     rounded to 6. Map-only, Python-free."""
     R = rp_matrix(dim_in, dim_out, seed)
-    x = F.col(vec_col)
-    return emb.select(
-        F.col(id_col),
-        F.array(
-            *[F.round(_fold_dot(x, R[j]), 6) for j in range(dim_out)]
-        ).alias("proj"),
+    coords = ", ".join(
+        f"round({_dot_sql(vec_col, R[j])}, 6)" for j in range(dim_out)
     )
+    return emb.selectExpr(f"`{id_col}`", f"array({coords}) AS proj")
 
 
 def rp_report(
@@ -117,15 +133,16 @@ def rp_report(
     joined = emb.select(
         F.col(id_col), F.col(vec_col).alias("_x")
     ).join(proj, id_col)
-    nin = F.sqrt(_fold_sq(F.col("_x")))
-    nout = F.sqrt(_fold_sq(F.col("proj")))
-    return joined.select(
-        F.col(id_col),
-        F.lit(dim_in).alias("dim_in"),
-        F.lit(dim_out).alias("dim_out"),
-        F.round(nin, 6).alias("norm_in"),
-        F.round(nout, 6).alias("norm_out"),
-        F.when(nin > 0, F.round(nout / nin, 6)).alias("distortion"),
+    nin = f"sqrt({_sq_sql('_x')})"
+    nout = f"sqrt({_sq_sql('proj')})"
+    return joined.selectExpr(
+        f"`{id_col}`",
+        f"{int(dim_in)} AS dim_in",
+        f"{int(dim_out)} AS dim_out",
+        f"round({nin}, 6) AS norm_in",
+        f"round({nout}, 6) AS norm_out",
+        f"CASE WHEN {nin} > 0 THEN round({nout} / {nin}, 6) END"
+        " AS distortion",
     )
 
 

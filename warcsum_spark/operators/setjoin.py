@@ -106,7 +106,9 @@ def similarity_join(
     # the doc→set table feeds prefix selection AND both verify sides
     base = base.cache()
 
-    pre = _prefix_shingles(base, threshold)
+    # cached: both self-join sides consume the prefix table — the
+    # freq-join + rarity window otherwise runs once per side
+    pre = _prefix_shingles(base, threshold).cache()
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(

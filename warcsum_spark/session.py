@@ -136,6 +136,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # call-site capture for DataFrame error context does an inspect
+        # stack walk + 2 extra py4j round trips on EVERY DataFrame API
+        # call (pyspark/errors/utils.py::_with_origin); expression-heavy
+        # query builds spend ~1/3 of their driver time there (profiled:
+        # good_turing build 9174 py4j commands → ~3000 with it off).
+        # Debugging aid, off in this production session factory.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
