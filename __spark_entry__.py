@@ -24,6 +24,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _values_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Literal dimension table as a JVM LocalRelation (``VALUES``), not
+    ``createDataFrame``: the latter ships the rows as a Python-pickled
+    RDD whose every (broadcast-)scan spawns Python workers — ~0.1-0.2 s
+    per broadcast build for a handful of rows. Same rows, same column
+    names/types (explicit CASTs from the DDL schema)."""
+    cols = [s.strip().split(None, 1) for s in schema.split(",")]
+
+    def _lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        return str(v)
+
+    vals = ",".join(
+        "(" + ",".join(_lit(v) for v in r) + ")" for r in rows
+    )
+    sel = ", ".join(
+        f"CAST(c{i + 1} AS {typ}) AS `{name}`"
+        for i, (name, typ) in enumerate(cols)
+    )
+    cnames = ",".join(f"c{i + 1}" for i in range(len(cols)))
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({cnames})")
+
+
 #: scan-partition counts per (session id, table path) — the
 #: ``df.rdd.getNumPartitions()`` probe inside ensure_min_parallelism
 #: costs a plan→RDD conversion (~40 ms of driver time) per call; the
@@ -4054,8 +4084,8 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.bm25 import bm25_search
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
-    queries_df = spark.createDataFrame(
-        _BM25_QUERIES, "query_id long, term string"
+    queries_df = _values_df(
+        spark, _BM25_QUERIES, "query_id long, term string"
     )
     return bm25_search(docs, queries_df, k=5, salt_buckets=8)
 
@@ -4129,7 +4159,7 @@ def q_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    seeds = _values_df(spark, [(0,), (1,), (2,)], "node long")
     return hop_distance(edges, seeds, max_hops=6)
 
 
@@ -4484,8 +4514,8 @@ def q_fetch_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     sched = schedule_per_host(cand, politeness=None, default_budget=3).select(
         "host", "url", "priority", "host_rank"
     )
-    delays = spark.createDataFrame(
-        _FETCH_DELAYS, "host string, crawl_delay double"
+    delays = _values_df(
+        spark, _FETCH_DELAYS, "host string, crawl_delay double"
     )
     assigned = assign_fetch_times(sched, delays, default_delay=1.0)
     finish = round_makespan(assigned)
@@ -5355,7 +5385,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     lex = bm25_search(
         docs,
-        spark.createDataFrame(_BM25_QUERIES, "query_id long, term string"),
+        _values_df(spark, _BM25_QUERIES, "query_id long, term string"),
         k=5,
         salt_buckets=8,
     )
@@ -5809,8 +5839,8 @@ def q_qlm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from warcsum_spark.operators.qlm import query_likelihood_search
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
-    queries_df = spark.createDataFrame(
-        _QLM_QUERIES, "query_id long, term string"
+    queries_df = _values_df(
+        spark, _QLM_QUERIES, "query_id long, term string"
     )
     return query_likelihood_search(
         docs, queries_df, k=5, mu=2000.0, salt_buckets=8

@@ -93,8 +93,11 @@ def bowtie(
     bwd_e = e.select(
         (F.col("dst") + off).alias("src"), (F.col("src") + off).alias("dst")
     )
-    seeds = nodes.sparkSession.createDataFrame(
-        [(int(pivot),), (int(pivot) + off,)], "node long"
+    # JVM LocalRelation (VALUES), not createDataFrame: the pickled-RDD
+    # form spawns Python workers on every scan of the 2-row seed table
+    seeds = nodes.sparkSession.sql(
+        "SELECT CAST(c1 AS BIGINT) AS node FROM "
+        f"(VALUES ({int(pivot)}), ({int(pivot) + off})) AS t(c1)"
     )
     reached = hop_distance(
         fwd_e.unionByName(bwd_e), seeds, max_hops=max_hops

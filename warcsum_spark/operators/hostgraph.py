@@ -60,6 +60,10 @@ def host_graph_stats(edges: DataFrame) -> DataFrame:
     reciprocal/out_degree (NULL for hosts with no outgoing edges —
     pure sinks). A healthy site links out asymmetrically; a link farm's
     reciprocity saturates."""
+    # cached: three branches (reversed-edge set, out side, in side)
+    # consume the host-edge table — uncached each re-runs the page→host
+    # collapse over the full link stream; host-grain rows, tiny
+    edges = edges.cache()
     back = edges.select(
         F.col("src_host").alias("dst_host"),
         F.col("dst_host").alias("src_host"),
