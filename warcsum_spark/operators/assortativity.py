@@ -76,10 +76,14 @@ def degree_assortativity(
     )
     outd = e.groupBy("src").agg(F.count("*").alias("deg_out"))
     ind = e.groupBy("dst").agg(F.count("*").alias("deg_in"))
+    # both cached: node-grain tables with two consumers each (deg feeds
+    # both endpoint attaches; nodes feeds deg and the n_nodes scalar) —
+    # uncached each consumer re-runs the degree aggregations
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
     deg = (
         nodes.join(outd, nodes.node == outd.src, "left")
@@ -89,6 +93,7 @@ def degree_assortativity(
             F.coalesce("deg_out", F.lit(0)).alias("deg_out"),
             F.coalesce("deg_in", F.lit(0)).alias("deg_in"),
         )
+        .cache()
     )
     ends = (
         e.join(

@@ -211,6 +211,10 @@ def encode_corpus(
     words = docs.select(
         F.col(id_col), F.explode(F.split(F.trim(txt), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
+    # cached: three branches (type-table distinct, the encode join, the
+    # per-doc word count) consume the word stream — uncached each
+    # re-runs the corpus tokenize+explode
+    words = words.cache()
     enc = encode_words(words.select("word").distinct(), merges)
     toks = words.join(enc, "word").select(
         id_col, F.explode("subwords").alias("sub")

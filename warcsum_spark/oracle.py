@@ -368,12 +368,16 @@ def _normalize_pct(s: str) -> str:
         c = s[i]
         if c == "%" and i + 2 < n + 1 and i + 3 <= n:
             hx = s[i + 1 : i + 3]
-            try:
-                ch = chr(int(hx, 16))
-            except ValueError:
+            # strict RFC 3986 pct-encoded: exactly two HEXDIGs. A bare
+            # int(hx, 16) also accepts sign/space prefixes ("+a" parses
+            # as +0xA), silently treating malformed escapes like "%+a"
+            # as valid — the engine's regex (%[0-9A-Fa-f]{2}) never did,
+            # and a Hypothesis draw caught the divergence.
+            if not all(ch in "0123456789abcdefABCDEF" for ch in hx):
                 out.append(c)
                 i += 1
                 continue
+            ch = chr(int(hx, 16))
             if ch in _UNRESERVED:
                 out.append(ch)
             else:
