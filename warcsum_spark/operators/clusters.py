@@ -59,6 +59,15 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(edges, labels):
+        return _cc_loop(edges, labels, max_iter)
+
+
+def _cc_loop(edges, labels, max_iter):
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -174,6 +183,15 @@ def star_components(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    # NOTE: star-contraction rounds do EDGE-sized work (two windowed
+    # re-attachment passes over the full edge set), not state-sized —
+    # pinning loop shuffle partitions to the anchor count was measured
+    # 4x SLOWER here (cc_star_chains 0.6 -> 2.6 s); AQE keeps the
+    # per-round plans right, so no loop_plan_conf on this loop.
+    return _star_loop(edges, nodes, n_edges, max_iter)
+
+
+def _star_loop(edges, nodes, n_edges, max_iter):
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # count() materializes the lazy checkpoint (one job, hopdist.py

@@ -61,9 +61,14 @@ def hits(
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(eager=True)
     auth = None
-    for _ in range(iters):
-        auth = _half_step(nodes, e, hub, "hub", "src", "dst", "authority", round_scale)
-        hub = _half_step(nodes, e, auth, "authority", "dst", "src", "hub", round_scale)
+    # plain per-half-step planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e, nodes):
+        for _ in range(iters):
+            auth = _half_step(nodes, e, hub, "hub", "src", "dst", "authority", round_scale)
+            hub = _half_step(nodes, e, auth, "authority", "dst", "src", "hub", round_scale)
     return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "authority")
 
 
@@ -100,7 +105,8 @@ def _half_step(
             "node",
             F.round(F.col("_raw") / F.col("_norm"), round_scale).alias(out_col),
         )
-        .localCheckpoint(eager=True)
+        # LAZY: materialization merges into the next half-step's stages
+        .localCheckpoint(eager=False)
     )
 
 

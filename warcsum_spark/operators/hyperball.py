@@ -95,6 +95,22 @@ def neighborhood_exact(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(visited, e):
+        rounds = _ball_rounds(e, visited, frontier, max_t)
+    if not rounds:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node long, dist int, cnt bigint")
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select("node", "dist", "cnt")
+
+
+def _ball_rounds(e, visited, frontier, max_t):
     rounds: list[DataFrame] = []
     for t in range(1, max_t + 1):
         nxt = (
@@ -115,16 +131,12 @@ def neighborhood_exact(
             )
         )
         # re-compacted per round (see hopdist.py: a lazy union pile makes
-        # the per-round anti-join re-shuffle ever more tiny partitions)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # the per-round anti-join re-shuffle ever more tiny partitions);
+        # LAZY checkpoint — the next round's count() materializes it
+        # through the anti-join, one job per round instead of two
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    if not rounds:
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "node long, dist int, cnt bigint")
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out.select("node", "dist", "cnt")
+    return rounds
 
 
 def harmonic_exact(

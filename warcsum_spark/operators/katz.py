@@ -66,25 +66,31 @@ def katz_centrality(
         "node", F.round(F.lit(float(beta)), round_scale).alias("katz")
     ).localCheckpoint(eager=True)
 
-    for _ in range(iters):
-        walk_in = (
-            e.join(scores, e.src == scores.node)
-            .select(F.col("dst").alias("node"), F.col("katz").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("_in"))
-        )
-        scores = (
-            nodes.join(walk_in, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(float(beta))
-                    + float(alpha) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    round_scale,
-                ).alias("katz"),
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) + lazy per-round checkpoints — the
+    # pagerank.py discipline
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e, nodes):
+        for _ in range(iters):
+            walk_in = (
+                e.join(scores, e.src == scores.node)
+                .select(F.col("dst").alias("node"), F.col("katz").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("_in"))
             )
-            .localCheckpoint(eager=True)
-        )
+            scores = (
+                nodes.join(walk_in, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(float(beta))
+                        + float(alpha) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                        round_scale,
+                    ).alias("katz"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return scores
 
 

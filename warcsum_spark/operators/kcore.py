@@ -70,12 +70,26 @@ def k_core(
         raise ValueError(f"k must be >= 1, got {k}")
     alive = _bidir(edges, src_col, dst_col).localCheckpoint(eager=True)
     n_edges = alive.count()
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(alive):
+        alive = _peel_loop(alive, n_edges, k, max_rounds, checkpoint_interval)
+    return alive.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+def _peel_loop(alive, n_edges, k, max_rounds, checkpoint_interval):
     for r in range(max_rounds):
         if n_edges == 0:
             break
         deg = alive.groupBy("a").agg(F.count("*").alias("degree"))
+        # LAZY: the round's count() job materializes keep through both
+        # semi-joins (one job per round instead of two)
         keep = deg.filter(F.col("degree") >= k).select("a").localCheckpoint(
-            eager=True
+            eager=False
         )
         trimmed = (
             alive.join(keep, "a", "left_semi")
@@ -83,15 +97,13 @@ def k_core(
             .select("a", "b")
         )
         if (r + 1) % checkpoint_interval == 0:
-            trimmed = trimmed.localCheckpoint(eager=True)
+            trimmed = trimmed.localCheckpoint(eager=False)
         n_next = trimmed.count()
         alive = trimmed
         if n_next == n_edges:
             break
         n_edges = n_next
-    return alive.groupBy(F.col("a").alias("node")).agg(
-        F.count("*").alias("degree")
-    )
+    return alive
 
 
 def k_core_sql(source_cte: str, k: int, rounds: int = 24) -> str:

@@ -67,6 +67,15 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.col("n").desc(), F.col("label").asc()
     )
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(bidir, nodes):
+        return _lpa_loop(bidir, labels, w, iters, checkpoint_interval)
+
+
+def _lpa_loop(bidir, labels, w, iters, checkpoint_interval):
     for i in range(iters):
         votes = (
             bidir.join(labels, bidir.b == labels.node)

@@ -92,37 +92,43 @@ def opic(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(iters):
-        contribs = (
-            e_w.join(state, e_w.src == state.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("cash") / F.col("_deg")).alias("c"),
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) + lazy per-round checkpoints — the
+    # pagerank.py discipline
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e_w, nd):
+        for _ in range(iters):
+            contribs = (
+                e_w.join(state, e_w.src == state.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("cash") / F.col("_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("_contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("_contrib"))
-        )
-        dangling = state.filter(~F.col("_has_out")).agg(
-            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm")
-        )
-        state = (
-            state.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "node",
-                "_has_out",
-                F.round(
-                    F.coalesce(F.col("_contrib"), F.lit(0.0))
-                    + F.col("_dm") / F.col("_n"),
-                    round_scale,
-                ).alias("cash"),
-                F.round(F.col("hist") + F.col("cash"), round_scale).alias(
-                    "hist"
-                ),
+            dangling = state.filter(~F.col("_has_out")).agg(
+                F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint(eager=True)
-        )
+            state = (
+                state.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .crossJoin(F.broadcast(n1))
+                .select(
+                    "node",
+                    "_has_out",
+                    F.round(
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n"),
+                        round_scale,
+                    ).alias("cash"),
+                    F.round(F.col("hist") + F.col("cash"), round_scale).alias(
+                        "hist"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
     return state.select(
         "node",
         "cash",

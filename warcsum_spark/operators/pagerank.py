@@ -77,35 +77,42 @@ def pagerank(
         F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("rank"),
     ).localCheckpoint(eager=True)
 
-    for _ in range(iters):
-        contribs = (
-            e_w.join(ranks, e_w.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("_contrib"))
-        )
-        dangling = ranks.filter(~F.col("_has_out")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        ranks = (
-            nd.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "node",
-                "_has_out",
-                F.round(
-                    (1.0 - damping) / F.col("_n")
-                    + damping
-                    * (
-                        F.coalesce(F.col("_contrib"), F.lit(0.0))
-                        + F.col("_dm") / F.col("_n")
-                    ),
-                    round_scale,
-                ).alias("rank"),
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf; per-round
+    # checkpoints are LAZY (plan truncation happens at build either
+    # way; materialization merges into the next round's stages)
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e_w, nd):
+        for _ in range(iters):
+            contribs = (
+                e_w.join(ranks, e_w.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("_contrib"))
             )
-            .localCheckpoint(eager=True)
-        )
+            dangling = ranks.filter(~F.col("_has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            ranks = (
+                nd.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .crossJoin(F.broadcast(n1))
+                .select(
+                    "node",
+                    "_has_out",
+                    F.round(
+                        (1.0 - damping) / F.col("_n")
+                        + damping
+                        * (
+                            F.coalesce(F.col("_contrib"), F.lit(0.0))
+                            + F.col("_dm") / F.col("_n")
+                        ),
+                        round_scale,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return ranks.select("node", "rank")
 
 
@@ -225,39 +232,45 @@ def trustrank(
         F.round(_teleport(), round_scale).alias("rank"),
     ).localCheckpoint(eager=True)
 
-    for _ in range(iters):
-        contribs = (
-            e_w.join(ranks, e_w.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("_deg")).alias("c"),
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) — see session.loop_plan_conf; LAZY per-round
+    # checkpoints (see pagerank above)
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e_w, marked):
+        for _ in range(iters):
+            contribs = (
+                e_w.join(ranks, e_w.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("_contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("_contrib"))
-        )
-        dangling = ranks.filter(~F.col("_has_out")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        ranks = (
-            marked.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(ns1))
-            .select(
-                "node",
-                "_is_seed",
-                "_has_out",
-                F.round(
-                    (1.0 - damping) * _teleport()
-                    + damping
-                    * (
-                        F.coalesce(F.col("_contrib"), F.lit(0.0))
-                        + F.col("_dm") * _teleport()
-                    ),
-                    round_scale,
-                ).alias("rank"),
+            dangling = ranks.filter(~F.col("_has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                marked.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .crossJoin(F.broadcast(ns1))
+                .select(
+                    "node",
+                    "_is_seed",
+                    "_has_out",
+                    F.round(
+                        (1.0 - damping) * _teleport()
+                        + damping
+                        * (
+                            F.coalesce(F.col("_contrib"), F.lit(0.0))
+                            + F.col("_dm") * _teleport()
+                        ),
+                        round_scale,
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return ranks.select("node", "rank")
 
 

@@ -69,6 +69,24 @@ def resolve_redirects(
     )
 
     rounds = max(1, math.ceil(math.log2(max_hops)) + 1)
+    # plain per-round planning in the small-state regime (no-op at
+    # production scale) + lazy per-round checkpoints — the
+    # pagerank.py discipline
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(state):
+        state = _double_loop(state, rounds)
+
+    ok = F.col("done") & (F.col("hops") <= max_hops)
+    return state.select(
+        "src",
+        F.when(ok, F.col("ptr")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        ok.alias("resolved"),
+    )
+
+
+def _double_loop(state, rounds):
     for _ in range(rounds):
         jump = state.select(
             F.col("src").alias("j_src"),
@@ -92,13 +110,6 @@ def resolve_redirects(
                     "done"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-
-    ok = F.col("done") & (F.col("hops") <= max_hops)
-    return state.select(
-        "src",
-        F.when(ok, F.col("ptr")).alias("final_url"),
-        F.when(ok, F.col("hops")).alias("hops"),
-        ok.alias("resolved"),
-    )
+    return state
