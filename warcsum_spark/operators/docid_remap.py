@@ -99,13 +99,14 @@ def reassignment_report(
     saved_gamma_bits) — T30 index + T92 costs under the original ids
     vs under URL-sorted ids. Hot-capped terms carry NULLs on both
     sides (same df either way — the remap is a permutation)."""
-    from warcsum_spark.operators.inverted_index import build_inverted_index
+    from warcsum_spark.operators.inverted_index import (
+        index_from_pairs,
+        term_doc_pairs,
+    )
     from warcsum_spark.operators.postings import postings_compression
 
-    def costs(d: DataFrame, tag: str) -> DataFrame:
-        ix = build_inverted_index(
-            d, id_col=id_col, text_col=text_col, max_postings=max_postings
-        )
+    def costs(pairs: DataFrame, tag: str) -> DataFrame:
+        ix = index_from_pairs(pairs, id_col=id_col, max_postings=max_postings)
         c = postings_compression(ix)
         return c.select(
             "term",
@@ -114,14 +115,22 @@ def reassignment_report(
             F.col("delta_bits").alias(f"delta_{tag}"),
         )
 
-    old = costs(docs.select(id_col, text_col), "old")
+    # tokenize ONCE: both cost sides index the SAME corpus, only the id
+    # assignment differs (the remap is a permutation), so the old side's
+    # (term, doc, count) pair table re-keys to the new ids with one slim
+    # join instead of a second full tokenize+explode pass. Cached: the
+    # old index, the re-key join, and the window all consume it.
+    pairs = term_doc_pairs(
+        docs.select(id_col, text_col), id_col=id_col, text_col=text_col
+    ).cache()
+    old = costs(pairs, "old")
     ids = url_sort_ids(docs, url_col=url_col, id_col=id_col)
-    remapped = (
-        docs.select(F.col(id_col).alias("old_id"), text_col)
+    pairs_new = (
+        pairs.withColumnRenamed(id_col, "old_id")
         .join(ids, "old_id")
-        .select(F.col("new_id").alias(id_col), text_col)
+        .select("term", F.col("new_id").alias(id_col), "_tc")
     )
-    new = costs(remapped, "new").drop("df")
+    new = costs(pairs_new, "new").drop("df")
     return old.join(new, "term").select(
         "term",
         "df",

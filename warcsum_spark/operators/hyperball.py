@@ -134,7 +134,14 @@ def _ball_rounds(e, visited, frontier, max_t):
         # the per-round anti-join re-shuffle ever more tiny partitions);
         # LAZY checkpoint — the next round's count() materializes it
         # through the anti-join, one job per round instead of two
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        # narrow coalesce caps the union's partition-list growth — see
+        # hopdist.py::_bfs_loop
+        tgt = max(
+            visited.rdd.getNumPartitions(), nxt.rdd.getNumPartitions()
+        )
+        visited = (
+            visited.unionByName(nxt).coalesce(tgt).localCheckpoint(eager=False)
+        )
         frontier = nxt
     return rounds
 

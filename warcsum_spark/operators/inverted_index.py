@@ -54,19 +54,26 @@ def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(F.col(id_col), F.explode(words).alias("term"))
 
 
-def build_inverted_index(
+def term_doc_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_postings: int | None = None,
 ) -> DataFrame:
-    """(term, df, cf, postings): df = distinct documents, cf = total
-    occurrences, postings = ascending distinct doc ids — null for terms
-    with df > ``max_postings`` (exact stats are still emitted for them;
-    see module docstring for why hot lists are structurally skipped)."""
+    """(term, id, _tc) — the aggregated token stream; the ONLY
+    token-stream exchange of the index build, exposed so callers that
+    need the SAME corpus indexed under several id assignments (T93)
+    tokenize once and re-key this slim table."""
     toks = _tokens(docs, id_col, text_col)
     # the ONLY token-stream exchange: (term, doc) with map-side combine
-    pairs = toks.groupBy("term", id_col).agg(F.count("*").alias("_tc"))
+    return toks.groupBy("term", id_col).agg(F.count("*").alias("_tc"))
+
+
+def index_from_pairs(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """``build_inverted_index`` from an existing term_doc_pairs table."""
     elem = F.col(id_col)
     if max_postings is not None:
         w = Window.partitionBy("term")
@@ -82,3 +89,18 @@ def build_inverted_index(
     if max_postings is not None:
         postings = F.when(F.col("df") <= max_postings, F.col("_p"))
     return agg.select("term", "df", "cf", postings.alias("postings"))
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """(term, df, cf, postings): df = distinct documents, cf = total
+    occurrences, postings = ascending distinct doc ids — null for terms
+    with df > ``max_postings`` (exact stats are still emitted for them;
+    see module docstring for why hot lists are structurally skipped)."""
+    return index_from_pairs(
+        term_doc_pairs(docs, id_col, text_col), id_col, max_postings
+    )
