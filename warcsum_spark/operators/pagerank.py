@@ -325,6 +325,131 @@ def trustrank_oracle_sql(
     )
 
 
+def _dual_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    round_scale: int = 10,
+) -> DataFrame:
+    """(node, pagerank, trustrank) — the T32 and T79 power iterations
+    FUSED into one loop for spam_mass: the edge prep (distinct, degree
+    join, flag table) is built once instead of twice, and each round is
+    ONE edge⋈state join + ONE dst-keyed aggregation producing BOTH
+    contribution sums, one two-conditional-sum dangling scan, and one
+    state update carrying both rank columns. Per-column arithmetic is
+    the respective loop's expression VERBATIM (same per-round
+    round(·, round_scale), same teleport/dangling forms), so the fused
+    state trajectory is the pair of the two solo trajectories —
+    snapshot-verified bit-equal."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    marked = nodes.join(
+        F.broadcast(s.withColumn("_is_seed", F.lit(True))), "node", "left"
+    ).join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+        F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
+    ).localCheckpoint(eager=True)
+    n1 = marked.agg(F.count("*").alias("_n"))
+    ns1 = marked.agg(
+        F.sum(F.col("_is_seed").cast("long")).alias("_ns")
+    )
+    e_w = e.join(deg, "src").localCheckpoint(eager=True)
+
+    def _teleport():
+        return F.when(
+            F.col("_is_seed"), F.lit(1.0) / F.col("_ns")
+        ).otherwise(F.lit(0.0))
+
+    state = (
+        marked.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(ns1))
+        .select(
+            "node",
+            "_is_seed",
+            "_has_out",
+            F.round(F.lit(1.0) / F.col("_n"), round_scale).alias("pr"),
+            F.round(_teleport(), round_scale).alias("tr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    from warcsum_spark.session import loop_plan_conf
+
+    with loop_plan_conf(e_w, marked):
+        for _ in range(iters):
+            contribs = (
+                e_w.join(state, e_w.src == state.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("pr") / F.col("_deg")).alias("c_pr"),
+                    (F.col("tr") / F.col("_deg")).alias("c_tr"),
+                )
+                .groupBy("node")
+                .agg(
+                    F.sum("c_pr").alias("_contrib_pr"),
+                    F.sum("c_tr").alias("_contrib_tr"),
+                )
+            )
+            dangling = state.filter(~F.col("_has_out")).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm_pr"),
+                F.coalesce(F.sum("tr"), F.lit(0.0)).alias("_dm_tr"),
+            )
+            state = (
+                marked.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .crossJoin(F.broadcast(n1))
+                .crossJoin(F.broadcast(ns1))
+                .select(
+                    "node",
+                    "_is_seed",
+                    "_has_out",
+                    F.round(
+                        (1.0 - damping) / F.col("_n")
+                        + damping
+                        * (
+                            F.coalesce(F.col("_contrib_pr"), F.lit(0.0))
+                            + F.col("_dm_pr") / F.col("_n")
+                        ),
+                        round_scale,
+                    ).alias("pr"),
+                    F.round(
+                        (1.0 - damping) * _teleport()
+                        + damping
+                        * (
+                            F.coalesce(F.col("_contrib_tr"), F.lit(0.0))
+                            + F.col("_dm_tr") * _teleport()
+                        ),
+                        round_scale,
+                    ).alias("tr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return state.select(
+        "node",
+        F.round("pr", 8).alias("pagerank"),
+        F.round("tr", 8).alias("trustrank"),
+    )
+
+
 def spam_mass(
     edges: DataFrame,
     seeds: DataFrame,
@@ -360,15 +485,10 @@ def spam_mass(
     node-keyed join of two (node, double) tables and a map-only
     projection. At 10^10 edges both ranks are computed once per crawl
     cycle anyway — this materializes their difference."""
-    pr = pagerank(
-        edges, damping=damping, iters=iters,
-        src_col=src_col, dst_col=dst_col,
-    ).select("node", F.round("rank", 8).alias("pagerank"))
-    tr = trustrank(
+    j = _dual_rank(
         edges, seeds, damping=damping, iters=iters,
         src_col=src_col, dst_col=dst_col, seed_col=seed_col,
-    ).select("node", F.round("rank", 8).alias("trustrank"))
-    j = pr.join(tr, "node")
+    )
     mass = F.round(F.col("pagerank") - F.col("trustrank"), 8)
     rel = F.round(
         (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"), 6

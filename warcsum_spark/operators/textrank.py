@@ -98,7 +98,11 @@ def textrank_keywords(
     module docstring for the pinned definitions."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
-    e = cooccurrence_edges(docs, window=window, text_col=text_col)
+    # checkpointed: BOTH direction branches of the union consume the
+    # pair table — uncached each re-runs the corpus tokenize + pair
+    # explode + distinct (the table itself is vocabulary-bounded)
+    e = cooccurrence_edges(docs, window=window, text_col=text_col
+                           ).localCheckpoint(eager=True)
     both = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
