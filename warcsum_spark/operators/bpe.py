@@ -348,7 +348,11 @@ def encode_words(
 
         return col.map(one)
 
-    return words.withColumn("subwords", seg(F.col(word_col)))
+    # §4.4 fence: the subword explode's inferred size()>0 predicate
+    # otherwise re-runs the merge replay below the type-table join
+    return words.withColumn(
+        "subwords", seg.asNondeterministic()(F.col(word_col))
+    )
 
 
 def tokenizer_fertility(

@@ -222,12 +222,22 @@ def cdc_chunk_docs(
 
     udf = _cdc_chunks_udf(min_size, normal_size, max_size)
     docs = ensure_min_parallelism(docs)
+    # posexplode_OUTER + a post-explode filter, NOT a plain posexplode:
+    # the non-outer Generate infers a (size(_ch) > 0 AND _ch IS NOT
+    # NULL) predicate and Catalyst pushes it below the
+    # ensure_min_parallelism exchange, DUPLICATING the Arrow kernel
+    # (two ArrowEvalPython nodes, the first on the unparallelized scan
+    # partitions — every row was chunked twice). The outer Generate
+    # infers nothing; null/empty arrays yield one null-pos row that the
+    # chunk_id filter drops, which is exactly the non-outer row set.
     return (
         docs.select(
             F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("_ch")
         )
-        .filter(F.col("_ch").isNotNull())
-        .select("doc_id", F.posexplode("_ch").alias("chunk_id", "_c"))
+        .select(
+            "doc_id", F.posexplode_outer("_ch").alias("chunk_id", "_c")
+        )
+        .filter(F.col("chunk_id").isNotNull())
         .select(
             "doc_id",
             F.col("chunk_id").cast("long").alias("chunk_id"),

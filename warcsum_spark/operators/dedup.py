@@ -221,6 +221,14 @@ def _minhash_text_udf(num_hashes: int, k: int, bands: int):
         with np.errstate(over="ignore"):
             return _kernel(texts)
 
+    # non-deterministic fence (guide §4.4): the kernel is value-
+    # deterministic, but without the fence Catalyst duplicates it — the
+    # struct-field projection collapse and the banding Generate's
+    # inferred size()>0 predicate each re-evaluate the FULL
+    # tokenize+minhash kernel per row (plan-scanned: 2-4 ArrowEvalPython
+    # nodes per query before, 1 after)
+    sig_bands = sig_bands.asNondeterministic()
+
     def _kernel(texts):
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()

@@ -90,7 +90,9 @@ def _assign_sim_udf(centroids: np.ndarray):
             names=["centroid_id", "centroid_sim"],
         )
 
-    return assign
+    # §4.4 fence: without it the struct-field projection collapse +
+    # the groupBy's pushed isnotnull re-ran the assignment matmul 3x
+    return assign.asNondeterministic()
 
 
 def _cluster_dedup(threshold: float, block: int = 1024):

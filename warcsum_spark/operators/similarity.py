@@ -65,7 +65,7 @@ def _list_to_flat(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 @F.arrow_udf(T.DoubleType())
-def cosine_batch(a: pa.Array, b: pa.Array) -> pa.Array:
+def _cosine_batch_det(a: pa.Array, b: pa.Array) -> pa.Array:
     """Arrow-batched cosine: one numpy pass per batch instead of an
     interpreted HOF chain per row (~100× on candidate scoring). float64
     accumulation — same rounding behavior the DuckDB oracles
@@ -208,7 +208,14 @@ def _all_sigs_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
             pa.array(packed.ravel(), type=pa.int64()),
         )
 
-    return sigs
+    # §4.4 fence — see cosine_batch
+    return sigs.asNondeterministic()
+
+
+# guide §4.4 fence: value-deterministic kernel; without this a filter on
+# a cosine-derived column is pushed below its projection and the kernel
+# runs twice per candidate pair (embedding_near_dup plan: 2 nodes -> 1)
+cosine_batch = _cosine_batch_det.asNondeterministic()
 
 
 def _with_table_sigs(
@@ -388,7 +395,8 @@ def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
         top = np.argsort(-sims, axis=1, kind="stable")[:, :p].astype(np.int32)
         return pd.Series(list(top))
 
-    return assign
+    # §4.4 fence — see cosine_batch
+    return assign.asNondeterministic()
 
 
 def ivf_topk(
