@@ -227,6 +227,29 @@ def loop_plan_conf(*frames):
         if n > sc.defaultParallelism:
             yield
             return
+        # bytes guard: partition count is a poor size proxy (AQE
+        # coalesces aggressively), so ALSO require the anchors to be
+        # small in bytes — Catalyst stats are exact for materialized
+        # localCheckpoint frames (LogicalRDD), estimates otherwise. The
+        # budget scales with the cluster (1 MB/core): above it, a
+        # pinned-partition round would serialize real data, so AQE
+        # keeps the loop.
+        try:
+            total = sum(
+                int(
+                    f._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                for f in frames
+            )
+        except Exception:
+            yield
+            return
+        if total > sc.defaultParallelism * (1 << 20):
+            yield
+            return
         old_aqe = sess.conf.get("spark.sql.adaptive.enabled")
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
         sess.conf.set("spark.sql.adaptive.enabled", "false")
