@@ -102,15 +102,24 @@ def bowtie(
     reached = hop_distance(
         fwd_e.unionByName(bwd_e), seeds, max_hops=max_hops
     ).localCheckpoint(eager=False)
-    fwd = reached.filter(F.col("node") < off).select(
-        "node", F.lit(1).alias("_f")
-    )
-    bwd = reached.filter(F.col("node") >= off).select(
-        (F.col("node") - off).alias("node"), F.lit(1).alias("_b")
+    # ONE aggregated flag table + ONE join, not a (fwd left-join bwd
+    # left-join) chain: each reached row folds to (original node,
+    # which-sweep flag) and a max-combine collapses the <= 2 rows per
+    # node — same CORE/IN/OUT/OTHER classification, one join and one
+    # broadcast build fewer
+    flags = (
+        reached.select(
+            F.when(F.col("node") < off, F.col("node"))
+            .otherwise(F.col("node") - off)
+            .alias("node"),
+            F.when(F.col("node") < off, 1).otherwise(0).alias("_f"),
+            F.when(F.col("node") >= off, 1).otherwise(0).alias("_b"),
+        )
+        .groupBy("node")
+        .agg(F.max("_f").alias("_f"), F.max("_b").alias("_b"))
     )
     return (
-        nodes.join(fwd, "node", "left")
-        .join(bwd, "node", "left")
+        nodes.join(flags, "node", "left")
         .select(
             "node",
             F.when((F.col("_f") == 1) & (F.col("_b") == 1), "CORE")
@@ -132,7 +141,10 @@ def bowtie_summary(
     """(cls, n_nodes, share) — the headline bow-tie table."""
     tagged = bowtie(edges, max_hops, pivot, src_col, dst_col)
     counts = tagged.groupBy("cls").agg(F.count("*").alias("n_nodes"))
-    total = tagged.agg(F.count("*").alias("_t"))
+    # total from the 4-row counts table, NOT a second agg over tagged —
+    # sum of the class counts IS the node count, and the second branch
+    # re-ran the whole classification join subtree
+    total = counts.agg(F.sum("n_nodes").alias("_t"))
     return counts.crossJoin(F.broadcast(total)).select(
         "cls",
         "n_nodes",
